@@ -1,0 +1,101 @@
+"""Linear-algebra helpers: generalized eigensolver, canonical orthogonalization,
+Davidson iterative eigensolver.
+
+Analog of the reference's pyscf/lib/linalg_helper.py (davidson1:290,
+safe_eigh:55) and the eig path of scf/hf.py:1363-1391, re-expressed as
+dense XLA ops (TPU eigh) instead of LAPACK generalized solvers.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def canonical_orth(s, thresh=1e-8):
+    """X with X^T S X = I, dropping near-singular directions (Lowdin canonical).
+
+    Mirrors reference scf/addons.py remove_linear_dep_ / hf.py:1363.
+    Note: keeps static shape; dropped directions are zero columns.
+    """
+    w, v = jnp.linalg.eigh(s)
+    keep = w > thresh
+    winv = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
+    return v * winv[None, :]
+
+
+@jax.jit
+def eigh_gen(f, x):
+    """Solve F C = S C e given X = S^{-1/2}: returns (e, C)."""
+    fp = x.T @ f @ x
+    e, cp = jnp.linalg.eigh(fp)
+    return e, x @ cp
+
+
+def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
+             hdiag=None, verbose=0):
+    """Davidson eigensolver for the lowest eigenpairs of a symmetric operator.
+
+    Host-driven subspace loop with device matvecs (the contraction dominates;
+    the small subspace solve runs on host). Returns (evals, evecs, converged).
+    """
+    x0 = np.asarray(x0)
+    if x0.ndim == 1:
+        x0 = x0[None]
+    n = x0.shape[1]
+    V = []      # orthonormal basis (numpy host copies)
+    AV = []
+    theta_old = None
+    hd = np.asarray(hdiag) if hdiag is not None else None
+    conv = False
+    # seed
+    for v in x0:
+        v = v / np.linalg.norm(v)
+        V.append(v)
+    evals = evecs = None
+    for it in range(max_cycle):
+        # orthonormalize any new vectors (modified Gram-Schmidt)
+        nv = len(V)
+        while len(AV) < nv:
+            w = np.asarray(matvec(jnp.asarray(V[len(AV)])))
+            AV.append(w)
+        Vm = np.stack(V)
+        AVm = np.stack(AV)
+        H = Vm @ AVm.T
+        H = 0.5 * (H + H.T)
+        theta, S = np.linalg.eigh(H)
+        theta = theta[:neig]
+        S = S[:, :neig]
+        X = S.T @ Vm                      # ritz vectors (neig, n)
+        AX = S.T @ AVm
+        R = AX - theta[:, None] * X
+        rnorm = np.linalg.norm(R, axis=1)
+        evals, evecs = theta, X
+        if np.all(rnorm < tol) or (theta_old is not None
+                                   and np.all(np.abs(theta - theta_old) < tol * 1e-2)
+                                   and np.all(rnorm < np.sqrt(tol))):
+            conv = True
+            break
+        theta_old = theta
+        if len(V) + neig > max_space:
+            # restart with current ritz vectors
+            V = [X[i] / np.linalg.norm(X[i]) for i in range(neig)]
+            AV = []
+            continue
+        for i in range(neig):
+            if rnorm[i] < tol:
+                continue
+            if hd is not None:
+                denom = hd - theta[i]
+                denom = np.where(np.abs(denom) < 1e-8,
+                                 np.sign(denom + 1e-30) * 1e-8, denom)
+                t = R[i] / denom
+            else:
+                t = R[i]
+            # orthogonalize against V
+            for v in V:
+                t -= (v @ t) * v
+            nrm = np.linalg.norm(t)
+            if nrm > 1e-7:
+                V.append(t / nrm)
+    return evals, evecs, conv

@@ -1,0 +1,308 @@
+"""Two-electron repulsion integrals via Hermite (McMurchie-Davidson) factorization.
+
+Design: each contracted shell-pair class (la, lb) is lowered into a
+"Hermite pair representation"
+
+    pairs of class (la,lb) -> { p[m], P[m,3], E[m, ncart_ab, ntuv_ab] }
+
+with m = nshl_a*nshl_b*nprim_a*nprim_b primitive pairs (contraction
+coefficients folded into E).  ERI blocks between two pair classes are
+
+    (ab|cd) = E_ab[m1, ij, t1] * M[m1, m2, t1, t2] * E_cd[m2, kl, t2]
+
+where M holds Hermite Coulomb integrals R_{t1+t2}(omega, P-Q) with
+omega = p1 p2/(p1+p2) and a (-1)^{|t2|} phase.  The t1/t2 contractions are
+dense matmuls (MXU); the R table is regular VPU work.
+
+TPU discipline: the m axes are padded to fixed chunk sizes, so each
+angular class compiles exactly once (persistent jit cache) regardless of
+molecule size; padding lanes carry zero E coefficients. Final assembly into
+the AO tensor happens host-side (integrals are evaluated once per geometry).
+
+This replaces the reference's per-quartet libcint recursion driven by
+pyscf/scf/_vhf.py:370 and pyscf/gto/moleintor.py getints4c:603.
+"""
+from functools import partial, lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cart2sph import cart2sph
+from .hermite import (e3d, cart_components, tuv_components, tuv_index,
+                      hermite_R)
+
+PAIR_CHUNK = 128      # primitive-pair chunk size (bra side)
+AUX_CHUNK = 256       # aux/ket chunk
+
+
+# ---------------------------------------------------------------------------
+# Hermite pair representation
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _pair_data_kernel(la, lb, ea, ca, ra, eb, cb, rb):
+    """p, P, E for all (shell-pair, prim-pair) combos of the (la,lb) class."""
+    nsa, Ka = ea.shape
+    nsb, Kb = eb.shape
+    a = ea[:, None, :, None]
+    b = eb[None, :, None, :]
+    p = a + b
+    A = ra[:, None, None, None, :]
+    B = rb[None, :, None, None, :]
+    P = (a[..., None] * A + b[..., None] * B) / p[..., None]
+    w = ca[:, None, :, None] * cb[None, :, None, :]
+    E = e3d(la, lb, a + jnp.zeros_like(b), b + jnp.zeros_like(a),
+            A + jnp.zeros_like(B), B + jnp.zeros_like(A))
+    E = E * w[..., None, None, None]
+    m = nsa * nsb * Ka * Kb
+    nca, ncb, nt = E.shape[-3:]
+    return (p.reshape(m), P.reshape(m, 3), E.reshape(m, nca * ncb, nt))
+
+
+class PairClass:
+    """Host-side container for one (la,lb) Hermite pair class, chunk-padded."""
+
+    def __init__(self, mol, la, lb, chunk=PAIR_CHUNK):
+        ga, gb = mol.shell_groups[la], mol.shell_groups[lb]
+        p, P, E = _pair_data_kernel(
+            la, lb,
+            jnp.asarray(ga.exps), jnp.asarray(ga.coeffs),
+            jnp.asarray(ga.coords),
+            jnp.asarray(gb.exps), jnp.asarray(gb.coeffs),
+            jnp.asarray(gb.coords))
+        self.la, self.lb = la, lb
+        self.ga, self.gb = ga, gb
+        self.m = p.shape[0]
+        self.nc = E.shape[1]
+        self.nt = E.shape[2]
+        self.chunk = chunk
+        nchunk = -(-self.m // chunk)
+        pad = nchunk * chunk - self.m
+        self.nchunk = nchunk
+        self.p = jnp.pad(p, (0, pad), constant_values=1.0).reshape(nchunk, chunk)
+        self.P = jnp.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+            nchunk, chunk, self.nc, self.nt)
+
+    @property
+    def KK(self):
+        return self.ga.nprim * self.gb.nprim
+
+
+@lru_cache(maxsize=None)
+def _phase(L):
+    return np.array([(-1.0) ** sum(c) for c in tuv_components(L)])
+
+
+@lru_cache(maxsize=None)
+def _comb_onehot(L1, L2):
+    """One-hot (nt1*nt2, ntuv(L1+L2)) matrix: gather-as-matmul for R."""
+    idx12 = tuv_index(L1 + L2)
+    t1 = tuv_components(L1)
+    t2 = tuv_components(L2)
+    phase = _phase(L2)
+    W = np.zeros((len(t1) * len(t2), len(tuv_components(L1 + L2))))
+    k = 0
+    for c1 in t1:
+        for j, c2 in enumerate(t2):
+            W[k, idx12[(c1[0] + c2[0], c1[1] + c2[1], c1[2] + c2[2])]] = \
+                phase[j]
+            k += 1
+    return W
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _eri_chunk(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
+    """ERI between two pair-class chunks.
+
+    p1 (C1,), P1 (C1,3), E1 (C1, nc1, nt1); same for 2.
+    Returns (C1, nc1, C2, nc2).
+    """
+    pp = p1[:, None] * p2[None, :]
+    ps = p1[:, None] + p2[None, :]
+    omega = pp / ps
+    rpq = P1[:, None, :] - P2[None, :, :]
+    L = L1 + L2
+    R = hermite_R(L, omega, rpq)                      # (C1, C2, ntuv(L))
+    pref = 2.0 * jnp.pi ** 2.5 / (pp * jnp.sqrt(ps))
+    R = R * pref[..., None]
+    W = jnp.asarray(_comb_onehot(L1, L2))             # (nt1*nt2, ntuv(L))
+    M = (R @ W.T).reshape(R.shape[0], R.shape[1], nt1, nt2)
+    tmp = jnp.einsum('abst,bqt->absq', M, E2)         # (C1, C2, nt1, nc2)
+    out = jnp.einsum('aps,absq->apbq', E1, tmp)       # (C1, nc1, C2, nc2)
+    return out
+
+
+def _class_pair_block(pc1, pc2):
+    """Full (m1-chunked) x (m2-chunked) ERI for two pair classes.
+
+    Returns numpy (nsa,nsb,nca*ncb, nsc,nsd,ncc*ncd) with prim sums done.
+    """
+    L1 = pc1.la + pc1.lb
+    L2 = pc2.la + pc2.lb
+    acc = None
+    for i in range(pc1.nchunk):
+        row = []
+        for j in range(pc2.nchunk):
+            blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt,
+                             pc1.p[i], pc1.P[i], pc1.E[i],
+                             pc2.p[j], pc2.P[j], pc2.E[j])
+            row.append(blk)
+        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
+    # acc: (m1_pad, nc1, m2_pad, nc2) -> trim and reduce over prim pairs
+    out = np.asarray(acc)[:pc1.m, :, :pc2.m, :]
+    nsa, nsb = pc1.ga.nshl, pc1.gb.nshl
+    nsc, nsd = pc2.ga.nshl, pc2.gb.nshl
+    out = out.reshape(nsa, nsb, pc1.KK, pc1.nc, nsc, nsd, pc2.KK, pc2.nc)
+    return out.sum(axis=(2, 6))
+
+
+def _sph(l):
+    return cart2sph(l)
+
+
+def int2e(mol):
+    """Full (nao,)*4 ERI tensor in chemists' notation, host-assembled."""
+    nao = mol.nao
+    out = np.zeros((nao, nao, nao, nao))
+    ls = sorted(mol.shell_groups.keys())
+    pcs = {}
+    for la in ls:
+        for lb in ls:
+            pcs[(la, lb)] = PairClass(mol, la, lb)
+    for (la, lb), pc1 in pcs.items():
+        nca, ncb = len(cart_components(la)), len(cart_components(lb))
+        for (lc, ld), pc2 in pcs.items():
+            ncc, ncd = len(cart_components(lc)), len(cart_components(ld))
+            blk = _class_pair_block(pc1, pc2)
+            nsa, nsb, nsc, nsd = (pc1.ga.nshl, pc1.gb.nshl,
+                                  pc2.ga.nshl, pc2.gb.nshl)
+            blk = blk.reshape(nsa, nsb, nca, ncb, nsc, nsd, ncc, ncd)
+            blk = np.einsum('mp,nq,abpqcdrs,kr,ls->ambnckdl',
+                            _sph(la), _sph(lb), blk, _sph(lc), _sph(ld),
+                            optimize=True)
+            ia = pc1.ga.ao_off[:, None] + np.arange(2 * la + 1)
+            jb = pc1.gb.ao_off[:, None] + np.arange(2 * lb + 1)
+            kc = pc2.ga.ao_off[:, None] + np.arange(2 * lc + 1)
+            ld_ = pc2.gb.ao_off[:, None] + np.arange(2 * ld + 1)
+            out[np.ix_(ia.ravel(), jb.ravel(), kc.ravel(), ld_.ravel())] = \
+                blk.reshape(ia.size, jb.size, kc.size, ld_.size)
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Density-fitting integrals
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def _aux_data_kernel(l, e, c, r):
+    """Hermite data for single aux shells (partner = dummy s at same center)."""
+    ns, K = e.shape
+    ef = e.reshape(-1)
+    cf = c.reshape(-1)
+    rf = jnp.repeat(r, K, axis=0)
+    E = e3d(l, 0, ef, jnp.zeros_like(ef), rf, rf)   # (m, ncart, 1, ntuv(l))
+    E = E[:, :, 0, :] * cf[:, None, None]
+    return ef, rf, E
+
+
+class AuxClass:
+    """Chunk-padded Hermite data for the aux basis shells of one l."""
+
+    def __init__(self, auxmol, l, chunk=AUX_CHUNK):
+        g = auxmol.shell_groups[l]
+        e, r, E = _aux_data_kernel(l, jnp.asarray(g.exps),
+                                   jnp.asarray(g.coeffs), jnp.asarray(g.coords))
+        self.l = l
+        self.g = g
+        self.m = e.shape[0]
+        self.nc = E.shape[1]
+        self.nt = E.shape[2]
+        nchunk = -(-self.m // chunk)
+        pad = nchunk * chunk - self.m
+        self.nchunk = nchunk
+        self.chunk = chunk
+        self.p = jnp.pad(e, (0, pad), constant_values=1.0).reshape(nchunk, chunk)
+        self.P = jnp.pad(r, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+            nchunk, chunk, self.nc, self.nt)
+        self.KK = g.nprim
+
+
+def _aux_block(pc, ac):
+    """(pair-class | aux-class) block -> numpy (nsa,nsb,nc_ab, nsx,nc_x)."""
+    L1 = pc.la + pc.lb
+    L2 = ac.l
+    acc = None
+    for i in range(pc.nchunk):
+        row = []
+        for j in range(ac.nchunk):
+            blk = _eri_chunk(L1, L2, pc.nt, ac.nt,
+                             pc.p[i], pc.P[i], pc.E[i],
+                             ac.p[j], ac.P[j], ac.E[j])
+            row.append(blk)
+        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
+    out = np.asarray(acc)[:pc.m, :, :ac.m, :]
+    nsa, nsb = pc.ga.nshl, pc.gb.nshl
+    nsx = ac.g.nshl
+    out = out.reshape(nsa, nsb, pc.KK, pc.nc, nsx, ac.KK, ac.nc)
+    return out.sum(axis=(2, 5))
+
+
+def int3c2e(mol, auxmol):
+    """(mu nu | P) three-center two-electron integrals, (nao, nao, naux)."""
+    nao, naux = mol.nao, auxmol.nao
+    out = np.zeros((nao, nao, naux))
+    ls = sorted(mol.shell_groups.keys())
+    for la in ls:
+        for lb in ls:
+            pc = PairClass(mol, la, lb)
+            nca, ncb = len(cart_components(la)), len(cart_components(lb))
+            ia = pc.ga.ao_off[:, None] + np.arange(2 * la + 1)
+            jb = pc.gb.ao_off[:, None] + np.arange(2 * lb + 1)
+            for lx in sorted(auxmol.shell_groups.keys()):
+                ac = AuxClass(auxmol, lx)
+                blk = _aux_block(pc, ac)
+                nsa, nsb, nsx = pc.ga.nshl, pc.gb.nshl, ac.g.nshl
+                blk = blk.reshape(nsa, nsb, nca, ncb, nsx, ac.nc)
+                blk = np.einsum('mp,nq,abpqxr,sr->ambnxs',
+                                _sph(la), _sph(lb), blk, _sph(lx),
+                                optimize=True)
+                xx = ac.g.ao_off[:, None] + np.arange(2 * lx + 1)
+                out[np.ix_(ia.ravel(), jb.ravel(), xx.ravel())] = \
+                    blk.reshape(ia.size, jb.size, xx.size)
+    return jnp.asarray(out)
+
+
+def int2c2e(mol):
+    """(P|Q) two-center two-electron integrals over mol's shells."""
+    nao = mol.nao
+    out = np.zeros((nao, nao))
+    for lx in sorted(mol.shell_groups.keys()):
+        ax = AuxClass(mol, lx)
+        ix = ax.g.ao_off[:, None] + np.arange(2 * lx + 1)
+        for ly in sorted(mol.shell_groups.keys()):
+            ay = AuxClass(mol, ly)
+            acc = None
+            for i in range(ax.nchunk):
+                row = []
+                for j in range(ay.nchunk):
+                    blk = _eri_chunk(ax.l, ay.l, ax.nt, ay.nt,
+                                     ax.p[i], ax.P[i], ax.E[i],
+                                     ay.p[j], ay.P[j], ay.E[j])
+                    row.append(blk)
+                row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
+                acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
+            blk = np.asarray(acc)[:ax.m, :, :ay.m, :]
+            nsx, nsy = ax.g.nshl, ay.g.nshl
+            blk = blk.reshape(nsx, ax.KK, ax.nc, nsy, ay.KK, ay.nc)
+            blk = blk.sum(axis=(1, 4))
+            blk = np.einsum('mp,xpyq,nq->xmyn', _sph(lx), blk, _sph(ly),
+                            optimize=True)
+            jy = ay.g.ao_off[:, None] + np.arange(2 * ly + 1)
+            out[np.ix_(ix.ravel(), jy.ravel())] = \
+                blk.reshape(ix.size, jy.size)
+    return jnp.asarray(out)

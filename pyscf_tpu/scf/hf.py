@@ -1,0 +1,320 @@
+"""Restricted Hartree-Fock, TPU-native.
+
+Analog of the reference's pyscf/scf/hf.py (kernel:49, SCF:1652, RHF:2480).
+The SCF cycle is a jitted XLA step (Fock build + DIIS-extrapolated
+diagonalization via canonical orthogonalization); the convergence loop runs
+on host. The J/K build is dense MXU work: in-core ERI einsums
+(reference _vhf.incore: scf/_vhf.py:283) or density-fitted contractions
+(reference df/df_jk.py) — integral-direct Schwarz screening is replaced by
+the DF-first design (SURVEY §7.5).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lib import parameters as param
+from ..lib.diis import DIIS
+from ..lib.linalg import canonical_orth, eigh_gen
+
+
+def get_hcore(mol):
+    return mol.intor('int1e_kin') + mol.intor('int1e_nuc')
+
+
+def get_ovlp(mol):
+    return mol.intor('int1e_ovlp')
+
+
+@jax.jit
+def dot_eri_dm(eri, dm):
+    """J/K from a full in-core ERI tensor (chemists' (ij|kl)).
+
+    Mirrors reference scf/hf.py:902 dot_eri_dm (s8-packed there; dense here —
+    MXU-friendly full tensor contraction).
+    """
+    vj = jnp.einsum('ijkl,lk->ij', eri, dm)
+    vk = jnp.einsum('ilkj,lk->ij', eri, dm)
+    return vj, vk
+
+
+@jax.jit
+def _rhf_fock_step(h1e, vhf, dm, s1e, x):
+    """One diagonalization step: F = h + vhf; returns (fock, grad-norm proxy)."""
+    fock = h1e + vhf
+    sdf = s1e @ dm @ fock
+    err = sdf.T - sdf            # DIIS error (FDS - SDF)
+    return fock, err
+
+
+@jax.jit
+def _density(c, occ):
+    cocc = c * occ[None, :]
+    return cocc @ c.T
+
+
+def get_occ_rhf(mo_energy, nocc):
+    """Aufbau occupation for RHF (2 electrons per lowest orbital)."""
+    e = np.asarray(mo_energy)
+    idx = np.argsort(e)
+    occ = np.zeros_like(e)
+    occ[idx[:nocc]] = 2.0
+    return jnp.asarray(occ)
+
+
+def energy_elec(dm, h1e, vhf):
+    e1 = jnp.einsum('ij,ji->', h1e, dm)
+    e2 = 0.5 * jnp.einsum('ij,ji->', vhf, dm)
+    return (e1 + e2).real
+
+
+class SCF:
+    """Base mean-field driver. Subclasses provide get_veff/get_occ/make_rdm1."""
+
+    conv_tol = 1e-10
+    conv_tol_grad = None
+    max_cycle = 100
+    diis_space = 8
+    diis_start_cycle = 1
+    level_shift = 0.0
+    init_guess = 'minao'
+    lindep_thresh = 1e-8
+
+    def __init__(self, mol):
+        self.mol = mol
+        self.verbose = mol.verbose
+        self.converged = False
+        self.e_tot = None
+        self.mo_coeff = None
+        self.mo_energy = None
+        self.mo_occ = None
+        self.chkfile = None
+        self._eri = None
+        self.with_df = None
+
+    # ---------------- integrals -------------------------------------
+    def get_hcore(self, mol=None):
+        return get_hcore(mol or self.mol)
+
+    def get_ovlp(self, mol=None):
+        return get_ovlp(mol or self.mol)
+
+    def get_jk(self, mol=None, dm=None, hermi=1, with_j=True, with_k=True,
+               omega=None):
+        mol = mol or self.mol
+        if self.with_df is not None:
+            return self.with_df.get_jk(dm, with_j=with_j, with_k=with_k)
+        if self._eri is None:
+            self._eri = mol.intor('int2e')
+        dm = jnp.asarray(dm)
+        if dm.ndim == 2:
+            return dot_eri_dm(self._eri, dm)
+        vj, vk = zip(*[dot_eri_dm(self._eri, d) for d in dm])
+        return jnp.stack(vj), jnp.stack(vk)
+
+    def get_j(self, mol=None, dm=None, hermi=1):
+        return self.get_jk(mol, dm, with_k=False)[0]
+
+    def get_k(self, mol=None, dm=None, hermi=1):
+        return self.get_jk(mol, dm, with_j=False)[1]
+
+    # ---------------- RHF-specific pieces ----------------------------
+    def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
+        vj, vk = self.get_jk(mol, dm)
+        return vj - 0.5 * vk
+
+    def get_occ(self, mo_energy, mo_coeff=None):
+        return get_occ_rhf(mo_energy, self.mol.nelectron // 2)
+
+    def make_rdm1(self, mo_coeff=None, mo_occ=None):
+        c = mo_coeff if mo_coeff is not None else self.mo_coeff
+        o = mo_occ if mo_occ is not None else self.mo_occ
+        return _density(c, o)
+
+    def energy_elec(self, dm, h1e, vhf):
+        return energy_elec(dm, h1e, vhf)
+
+    def energy_nuc(self):
+        return self.mol.energy_nuc()
+
+    def energy_tot(self, dm, h1e, vhf):
+        return float(self.energy_elec(dm, h1e, vhf)) + self.energy_nuc()
+
+    def get_fock(self, h1e, s1e, vhf, dm, cycle=-1, diis=None):
+        fock = h1e + vhf
+        if diis is not None and cycle >= self.diis_start_cycle:
+            sdf = s1e @ dm @ fock
+            err = sdf.conj().T - sdf
+            fock = diis.update(fock, err)
+        if self.level_shift:
+            sds = s1e @ dm @ s1e
+            fock = fock + self.level_shift * (s1e - 0.5 * sds) \
+                - 0.5 * self.level_shift * sds * 0  # RHF: shift virtuals
+        return fock
+
+    def eig(self, fock, s1e=None):
+        return eigh_gen(fock, self._orth)
+
+    # ---------------- init guesses ------------------------------------
+    def get_init_guess(self, mol=None, key=None):
+        mol = mol or self.mol
+        key = key or self.init_guess
+        if key == 'hcore' or key == '1e':
+            return self.init_guess_by_1e(mol)
+        if key == 'minao':
+            try:
+                from . import init_guess
+                return jnp.asarray(init_guess.init_guess_by_minao(mol))
+            except Exception:
+                return self.init_guess_by_1e(mol)
+        if key == 'atom':
+            from . import init_guess
+            return jnp.asarray(init_guess.init_guess_by_atom(mol))
+        raise NotImplementedError(f'init_guess {key}')
+
+    def init_guess_by_1e(self, mol=None):
+        mol = mol or self.mol
+        h1e = self.get_hcore(mol)
+        s1e = self.get_ovlp(mol)
+        x = canonical_orth(s1e, self.lindep_thresh)
+        mo_energy, mo_coeff = eigh_gen(h1e, x)
+        mo_occ = self.get_occ(mo_energy, mo_coeff)
+        return self.make_rdm1(mo_coeff, mo_occ)
+
+    # ---------------- driver ------------------------------------------
+    def kernel(self, dm0=None, **kwargs):
+        mol = self.mol
+        t_start = time.time()
+        if self.conv_tol_grad is None:
+            conv_tol_grad = np.sqrt(self.conv_tol)
+        else:
+            conv_tol_grad = self.conv_tol_grad
+
+        s1e = self.get_ovlp(mol)
+        h1e = self.get_hcore(mol)
+        self._orth = canonical_orth(s1e, self.lindep_thresh)
+        dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
+
+        vhf = self.get_veff(mol, dm)
+        e_tot = self.energy_tot(dm, h1e, vhf)
+        if self.verbose >= param.VERBOSE_INFO:
+            print(f'init E= {e_tot:.15g}')
+
+        diis = DIIS(self.diis_space) if self.diis_space else None
+        scf_conv = False
+        for cycle in range(self.max_cycle):
+            dm_last, e_last = dm, e_tot
+            fock = self.get_fock(h1e, s1e, vhf, dm, cycle, diis)
+            mo_energy, mo_coeff = self.eig(fock, s1e)
+            mo_occ = self.get_occ(mo_energy, mo_coeff)
+            dm = self.make_rdm1(mo_coeff, mo_occ)
+            vhf = self.get_veff(mol, dm, dm_last, vhf)
+            e_tot = self.energy_tot(dm, h1e, vhf)
+
+            fock_c = h1e + vhf
+            grad = self._scf_grad_norm(mo_coeff, mo_occ, fock_c)
+            de = abs(e_tot - e_last)
+            if self.verbose >= param.VERBOSE_INFO:
+                print(f'cycle= {cycle + 1} E= {e_tot:.15g} '
+                      f'delta_E= {de:.3g} |g|= {grad:.3g}')
+            if de < self.conv_tol and grad < conv_tol_grad:
+                scf_conv = True
+                break
+
+        self.converged = scf_conv
+        self.e_tot = e_tot
+        self.mo_energy = mo_energy
+        self.mo_coeff = mo_coeff
+        self.mo_occ = mo_occ
+        if self.verbose >= param.VERBOSE_NOTE:
+            state = 'converged' if scf_conv else 'NOT converged'
+            print(f'SCF {state}. E= {self.e_tot:.14f} '
+                  f'({time.time() - t_start:.1f}s)')
+        return self.e_tot
+
+    def _scf_grad_norm(self, mo_coeff, mo_occ, fock):
+        occ = np.asarray(mo_occ) > 0
+        co = mo_coeff[:, occ]
+        cv = mo_coeff[:, ~occ]
+        g = co.T @ fock @ cv
+        return float(jnp.linalg.norm(g)) * 2 ** 0.5
+
+    run = kernel
+
+    def scf(self, dm0=None, **kwargs):
+        return self.kernel(dm0, **kwargs)
+
+    # ---------------- decorators --------------------------------------
+    def density_fit(self, auxbasis=None):
+        from ..df.df_jk import density_fit
+        return density_fit(self, auxbasis)
+
+    def to_rhf(self):
+        return self
+
+    # ---------------- analysis -----------------------------------------
+    def dip_moment(self, mol=None, dm=None, unit='Debye'):
+        mol = mol or self.mol
+        if dm is None:
+            dm = self.make_rdm1()
+        r_ints = mol.intor('int1e_r')
+        el = -jnp.einsum('xij,ji->x', r_ints, dm)
+        nuc = jnp.einsum('a,ax->x', jnp.asarray(mol.charges, dtype=jnp.float64),
+                         jnp.asarray(mol.coords))
+        mu = np.asarray(el + nuc)
+        if unit.lower().startswith('d'):
+            mu = mu * param.DEBYE
+        return mu
+
+    def mulliken_pop(self, mol=None, dm=None, s=None):
+        mol = mol or self.mol
+        if dm is None:
+            dm = self.make_rdm1()
+        if s is None:
+            s = self.get_ovlp(mol)
+        pop = np.asarray(jnp.einsum('ij,ji->i', dm, s))
+        chg = np.array(mol.charges, dtype=float)
+        ao2atom = np.zeros(mol.nao, dtype=int)
+        for l, g in mol.shell_groups.items():
+            for off, ia in zip(g.ao_off, g.atom_ids):
+                ao2atom[off:off + 2 * l + 1] = ia
+        for i, p in enumerate(pop):
+            chg[ao2atom[i]] -= p
+        return pop, chg
+
+
+class RHF(SCF):
+    def __init__(self, mol):
+        if mol.nelectron % 2 != 0 or mol.spin != 0:
+            raise RuntimeError('RHF requires closed-shell molecule; '
+                               'use UHF/ROHF')
+        super().__init__(mol)
+
+    # post-HF constructors
+    def MP2(self, **kwargs):
+        from ..mp import MP2
+        return MP2(self, **kwargs)
+
+    def CCSD(self, **kwargs):
+        from ..cc import CCSD
+        return CCSD(self, **kwargs)
+
+    def CISD(self, **kwargs):
+        from ..ci import CISD
+        return CISD(self, **kwargs)
+
+    def TDA(self, **kwargs):
+        from ..tdscf import TDA
+        return TDA(self, **kwargs)
+
+    def TDHF(self, **kwargs):
+        from ..tdscf import TDHF
+        return TDHF(self, **kwargs)
+
+    def Gradients(self):
+        from ..grad import rhf as rhf_grad
+        return rhf_grad.Gradients(self)
+
+    def nuc_grad_method(self):
+        return self.Gradients()

@@ -1,0 +1,107 @@
+"""Unrestricted Hartree-Fock (analog of reference pyscf/scf/uhf.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from .hf import SCF, _density
+
+
+class UHF(SCF):
+    """UHF: dm is a stacked (2, nao, nao) array [dm_alpha, dm_beta]."""
+
+    def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
+        dm = jnp.asarray(dm)
+        vj, vk = self.get_jk(mol, dm)
+        vjt = vj[0] + vj[1]
+        return jnp.stack([vjt - vk[0], vjt - vk[1]])
+
+    def get_occ(self, mo_energy, mo_coeff=None):
+        na, nb = self.mol.nelec
+        occs = []
+        for e, n in zip(np.asarray(mo_energy), (na, nb)):
+            idx = np.argsort(e)
+            occ = np.zeros_like(e)
+            occ[idx[:n]] = 1.0
+            occs.append(occ)
+        return jnp.asarray(np.stack(occs))
+
+    def make_rdm1(self, mo_coeff=None, mo_occ=None):
+        c = mo_coeff if mo_coeff is not None else self.mo_coeff
+        o = mo_occ if mo_occ is not None else self.mo_occ
+        return jnp.stack([_density(c[0], o[0]), _density(c[1], o[1])])
+
+    def energy_elec(self, dm, h1e, vhf):
+        e1 = jnp.einsum('ij,sji->', h1e, dm)
+        e2 = 0.5 * jnp.einsum('sij,sji->', vhf, dm)
+        return (e1 + e2).real
+
+    def eig(self, fock, s1e=None):
+        from ..lib.linalg import eigh_gen
+        ea, ca = eigh_gen(fock[0], self._orth)
+        eb, cb = eigh_gen(fock[1], self._orth)
+        return jnp.stack([ea, eb]), jnp.stack([ca, cb])
+
+    def get_fock(self, h1e, s1e, vhf, dm, cycle=-1, diis=None):
+        fock = h1e[None] + vhf
+        if diis is not None and cycle >= self.diis_start_cycle:
+            errs = []
+            for s in range(2):
+                sdf = s1e @ dm[s] @ fock[s]
+                errs.append(sdf.conj().T - sdf)
+            fock = diis.update(fock, jnp.stack(errs))
+        return fock
+
+    def get_init_guess(self, mol=None, key=None):
+        dm = super().get_init_guess(mol, key)
+        dm = jnp.asarray(dm)
+        if dm.ndim == 2:
+            na, nb = self.mol.nelec
+            ne = max(self.mol.nelectron, 1)
+            dm = jnp.stack([dm * (na / ne), dm * (nb / ne)])
+        return dm
+
+    def init_guess_by_1e(self, mol=None):
+        mol = mol or self.mol
+        from ..lib.linalg import canonical_orth, eigh_gen
+        h1e = self.get_hcore(mol)
+        s1e = self.get_ovlp(mol)
+        x = canonical_orth(s1e, self.lindep_thresh)
+        e, c = eigh_gen(h1e, x)
+        mo_energy = jnp.stack([e, e])
+        mo_coeff = jnp.stack([c, c])
+        mo_occ = self.get_occ(mo_energy, mo_coeff)
+        return self.make_rdm1(mo_coeff, mo_occ)
+
+    def _scf_grad_norm(self, mo_coeff, mo_occ, fock):
+        tot = 0.0
+        for s in range(2):
+            occ = np.asarray(mo_occ[s]) > 0
+            co = mo_coeff[s][:, occ]
+            cv = mo_coeff[s][:, ~occ]
+            g = co.T @ fock[s] @ cv
+            tot += float(jnp.sum(g * g))
+        return tot ** 0.5
+
+    def spin_square(self, mo_coeff=None, mo_occ=None, s=None):
+        """<S^2> and multiplicity (reference scf/uhf.py spin_square)."""
+        c = mo_coeff if mo_coeff is not None else self.mo_coeff
+        o = mo_occ if mo_occ is not None else self.mo_occ
+        if s is None:
+            s = self.get_ovlp()
+        occa = np.asarray(o[0]) > 0
+        occb = np.asarray(o[1]) > 0
+        ca = c[0][:, occa]
+        cb = c[1][:, occb]
+        na, nb = ca.shape[1], cb.shape[1]
+        sab = ca.T @ s @ cb
+        ovlp2 = float(jnp.sum(sab * sab))
+        sz = 0.5 * (na - nb)
+        ss = sz * sz + 0.5 * (na + nb) - ovlp2
+        return ss, 2 * (np.sqrt(ss + 0.25)) if ss > -0.25 else 1.0
+
+    def MP2(self, **kwargs):
+        from ..mp.ump2 import UMP2
+        return UMP2(self, **kwargs)
+
+    def Gradients(self):
+        from ..grad import uhf as uhf_grad
+        return uhf_grad.Gradients(self)

@@ -1,0 +1,79 @@
+"""SCF golden-value tests vs the reference test suite.
+
+Geometry from reference pyscf/scf/test/test_h2o_vdz.py:29-33; golden energies
+from test_h2o_vdz.py:45 (RHF) etc.
+"""
+import numpy as np
+import pytest
+
+import pyscf_tpu as pt
+
+ATOM = 'O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587'
+
+
+@pytest.fixture(scope='module')
+def mol_sto3g():
+    return pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+
+
+def test_rhf_sto3g(mol_sto3g):
+    mf = mol_sto3g.RHF()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-11
+    e = mf.kernel()
+    assert mf.converged
+    assert abs(e - (-74.96306312971071)) < 1e-8
+
+
+@pytest.mark.slow
+def test_rhf_ccpvdz():
+    mol = pt.M(atom=ATOM, basis='cc-pvdz', verbose=0)
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-11
+    e = mf.kernel()
+    assert mf.converged
+    # reference golden: pyscf/scf/test/test_h2o_vdz.py:45
+    assert abs(e - (-76.026765673119627)) < 1e-8
+
+
+def test_uhf_matches_rhf(mol_sto3g):
+    mf = pt.scf.UHF(mol_sto3g)
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-11
+    e = mf.kernel()
+    assert mf.converged
+    assert abs(e - (-74.96306312971071)) < 1e-7
+
+
+def test_uhf_open_shell():
+    # O2 triplet, STO-3G
+    mol = pt.M(atom='O 0 0 0; O 0 0 1.21', basis='sto-3g', spin=2, verbose=0)
+    mf = pt.scf.UHF(mol)
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-10
+    e = mf.kernel()
+    assert mf.converged
+    ss, mult = mf.spin_square()
+    assert ss > 1.9  # triplet-ish (spin contamination allowed)
+
+
+def test_rohf_open_shell():
+    mol = pt.M(atom='O 0 0 0; O 0 0 1.21', basis='sto-3g', spin=2, verbose=0)
+    mf = pt.scf.ROHF(mol)
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-9
+    e = mf.kernel()
+    assert mf.converged
+    ss, mult = mf.spin_square()
+    assert abs(ss - 2.0) < 1e-12
+
+
+def test_dipole(mol_sto3g):
+    mf = mol_sto3g.RHF()
+    mf.init_guess = 'hcore'
+    mf.verbose = 0
+    mf.kernel()
+    mu = mf.dip_moment()
+    # H2O STO-3G dipole ~1.7 Debye along +z with this geometry
+    assert abs(np.linalg.norm(mu) - 1.73) < 0.1
