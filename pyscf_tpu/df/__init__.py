@@ -1,0 +1,4 @@
+"""Density fitting (analog of reference pyscf/df)."""
+from .df import DF
+from .addons import make_auxbasis, make_auxmol
+from .df_jk import density_fit

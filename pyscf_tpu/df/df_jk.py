@@ -1,0 +1,63 @@
+"""Density-fitted J/K builds (analog of reference pyscf/df/df_jk.py:31,280).
+
+All contractions are dense dot_generals on the MXU:
+    J_ij = B[P,ij] (B[P,kl] dm_lk)
+    K_ij = B[P,il] dm_lk B[P,kj]      (or via occupied MOs when available)
+"""
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def _jk_from_dm(B, dm):
+    rho = jnp.einsum('pkl,lk->p', B, dm)
+    vj = jnp.einsum('p,pij->ij', rho, B)
+    Bd = jnp.einsum('pil,lk->pik', B, dm)
+    vk = jnp.einsum('pik,pkj->ij', Bd, B)
+    return vj, vk
+
+
+@jax.jit
+def _j_from_dm(B, dm):
+    rho = jnp.einsum('pkl,lk->p', B, dm)
+    return jnp.einsum('p,pij->ij', rho, B)
+
+
+@jax.jit
+def _k_from_mo(B, co):
+    """K from occupied orbitals: O(naux nao^2 nocc), better than dm path."""
+    Bo = jnp.einsum('pij,jo->pio', B, co)
+    return jnp.einsum('pio,pjo->ij', Bo, Bo)
+
+
+@jax.jit
+def _bmo(B, ca, cb):
+    return jnp.einsum('pij,ia,jb->pab', B, ca, cb)
+
+
+def get_jk(dfobj, dm, with_j=True, with_k=True):
+    B = dfobj.cderi
+    dm = jnp.asarray(dm)
+    single = dm.ndim == 2
+    dms = dm[None] if single else dm
+    vjs, vks = [], []
+    for d in dms:
+        if with_j and with_k:
+            vj, vk = _jk_from_dm(B, d)
+        elif with_j:
+            vj, vk = _j_from_dm(B, d), None
+        else:
+            vj, vk = None, _jk_from_dm(B, d)[1]
+        vjs.append(vj)
+        vks.append(vk)
+    if single:
+        return vjs[0], vks[0]
+    stack = lambda xs: None if xs[0] is None else jnp.stack(xs)
+    return stack(vjs), stack(vks)
+
+
+def density_fit(mf, auxbasis=None):
+    """Attach a DF engine to a mean-field object (reference df_jk.py:31)."""
+    from .df import DF
+    mf.with_df = DF(mf.mol, auxbasis)
+    return mf

@@ -1,0 +1,213 @@
+"""Becke molecular integration grids.
+
+Analog of reference pyscf/dft/gen_grid.py (Grids:487, gen_atomic_grids:254,
+get_partition:341, nwchem_prune:90). Defaults mirror the reference exactly
+(Treutler radial + atom-specific xi, Bragg radii with Treutler adjustment,
+original Becke partition, NWChem pruning, level 3) so XC energies agree to
+the 1e-8 Ha contract. Grid construction is host-side numpy (once per
+geometry); the weights end up as device arrays feeding the jitted numint.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from . import radi
+from .lebedev import lebedev_grid, LEBEDEV_NGRID, LEBEDEV_ORDER
+
+#                Period   1    2    3    4    5    6    7       level
+RAD_GRIDS = np.array(((10, 15, 20, 30, 35, 40, 50),
+                      (30, 40, 50, 60, 65, 70, 75),
+                      (40, 60, 65, 75, 80, 85, 90),
+                      (50, 75, 80, 90, 95, 100, 105),
+                      (60, 90, 95, 105, 110, 115, 120),
+                      (70, 105, 110, 120, 125, 130, 135),
+                      (80, 120, 125, 135, 140, 145, 150),
+                      (90, 135, 140, 150, 155, 160, 165),
+                      (100, 150, 155, 165, 170, 175, 180),
+                      (200, 200, 200, 200, 200, 200, 200)))
+
+ANG_ORDER = np.array(((11, 15, 17, 17, 17, 17, 17),
+                      (17, 23, 23, 23, 23, 23, 23),
+                      (23, 29, 29, 29, 29, 29, 29),
+                      (29, 29, 35, 35, 35, 35, 35),
+                      (35, 41, 41, 41, 41, 41, 41),
+                      (41, 47, 47, 47, 47, 47, 47),
+                      (47, 53, 53, 53, 53, 53, 53),
+                      (53, 59, 59, 59, 59, 59, 59),
+                      (59, 59, 59, 59, 59, 59, 59),
+                      (65, 65, 65, 65, 65, 65, 65)))
+
+_PERIOD_EDGES = np.array((2, 10, 18, 36, 54, 86, 118))
+
+
+def _default_rad(nuc, level=3):
+    return RAD_GRIDS[level, int((nuc > _PERIOD_EDGES).sum())]
+
+
+def _default_ang(nuc, level=3):
+    return LEBEDEV_ORDER[int(ANG_ORDER[level, int((nuc > _PERIOD_EDGES).sum())])]
+
+
+def nwchem_prune(nuc, rads, n_ang, radii=radi.BRAGG_RADII):
+    """NWChem pruning: smaller angular grids near the nucleus."""
+    alphas = np.array(((0.25, 0.5, 1.0, 4.5),
+                       (0.1667, 0.5, 0.9, 3.5),
+                       (0.1, 0.4, 0.8, 2.5)))
+    leb_ngrid = LEBEDEV_NGRID[4:]
+    if n_ang < 50:
+        return np.repeat(n_ang, len(rads))
+    if n_ang == 50:
+        leb_l = np.array([1, 2, 2, 2, 1])
+    else:
+        idx = int(np.where(leb_ngrid == n_ang)[0][0])
+        leb_l = np.array([1, 3, idx - 1, idx, idx - 1])
+    r_atom = radii[nuc] + 1e-200
+    if nuc <= 2:
+        place = ((rads / r_atom).reshape(-1, 1) > alphas[0]).sum(axis=1)
+    elif nuc <= 10:
+        place = ((rads / r_atom).reshape(-1, 1) > alphas[1]).sum(axis=1)
+    else:
+        place = ((rads / r_atom).reshape(-1, 1) > alphas[2]).sum(axis=1)
+    return leb_ngrid[leb_l[place]]
+
+
+def sg1_prune(nuc, rads, n_ang, radii=radi.SG1RADII):
+    """SG1 pruning (Gill, Johnson, Pople, CPL 209, 506)."""
+    leb_ngrid = np.array([6, 38, 86, 194, 86])
+    r_atom = radii[nuc] if nuc < len(radii) else radii[-1]
+    if nuc <= 2:
+        place = ((rads / r_atom).reshape(-1, 1)
+                 > np.array((0.25, 0.5, 1.0, 4.5))).sum(axis=1)
+    elif nuc <= 10:
+        place = ((rads / r_atom).reshape(-1, 1)
+                 > np.array((0.1667, 0.5, 0.9, 3.5))).sum(axis=1)
+    else:
+        place = ((rads / r_atom).reshape(-1, 1)
+                 > np.array((0.1, 0.4, 0.8, 2.5))).sum(axis=1)
+    return leb_ngrid[place]
+
+
+def treutler_prune(nuc, rads, n_ang, radii=None):
+    """Treutler-Ahlrichs pruning: 14/50/n_ang by radial thirds."""
+    nr = len(rads)
+    out = np.empty(nr, dtype=int)
+    out[:nr // 3] = 14
+    out[nr // 3:nr // 2] = 50
+    out[nr // 2:] = n_ang
+    return out
+
+
+def original_becke(g):
+    """Becke step function, 3 iterations of (3g - g^3)/2. JCP 88, 2547."""
+    g = (3 - g * g) * g * 0.5
+    g = (3 - g * g) * g * 0.5
+    g = (3 - g * g) * g * 0.5
+    return g
+
+
+def gen_atomic_grids(mol, atom_grid=None, radi_method=radi.treutler,
+                     level=3, prune=nwchem_prune):
+    """Per-element (coords, weights) of the single-atom grid."""
+    atom_grid = atom_grid or {}
+    tabs = {}
+    for ia, symb in enumerate(mol.elements_):
+        if symb in tabs:
+            continue
+        chg = int(mol.charges[ia])
+        if symb in atom_grid:
+            n_rad, n_ang = atom_grid[symb]
+        else:
+            n_rad = _default_rad(chg, level)
+            n_ang = _default_ang(chg, level)
+        rad, dr = radi_method(n_rad, chg, ia)
+        rad_weight = 4.0 * np.pi * rad ** 2 * dr
+        if callable(prune):
+            angs = prune(chg, rad, n_ang)
+        else:
+            angs = np.repeat(n_ang, n_rad)
+        coords, weights = [], []
+        for n in sorted(set(angs.tolist())):
+            idx = np.where(angs == n)[0]
+            pts, w = lebedev_grid(int(n))
+            coords.append((rad[idx, None, None] * pts[None]).reshape(-1, 3))
+            weights.append((rad_weight[idx, None] * w[None]).ravel())
+        tabs[symb] = (np.concatenate(coords), np.concatenate(weights))
+    return tabs
+
+
+def get_partition(mol, atom_grids_tab, radii_adjust=None,
+                  atomic_radii=radi.BRAGG_RADII,
+                  becke_scheme=original_becke):
+    """Becke fuzzy-cell partition weights over the whole molecule."""
+    atm_coords = np.asarray(mol.coords)
+    natm = mol.natm
+    if callable(radii_adjust) and atomic_radii is not None:
+        a_adj = radii_adjust(mol, atomic_radii)
+    else:
+        a_adj = None
+    atm_dist = np.linalg.norm(
+        atm_coords[:, None, :] - atm_coords[None, :, :], axis=2)
+    np.fill_diagonal(atm_dist, 1.0)
+    inv_dist = 1.0 / atm_dist
+
+    coords_all, weights_all = [], []
+    for ia in range(natm):
+        c, w0 = atom_grids_tab[mol.elements_[ia]]
+        coords = c + atm_coords[ia]
+        if natm == 1:
+            coords_all.append(coords)
+            weights_all.append(w0)
+            continue
+        # mu_ij for every grid point
+        dist = np.linalg.norm(coords[:, None, :] - atm_coords[None, :, :],
+                              axis=2)                       # (np, natm)
+        mu = (dist[:, :, None] - dist[:, None, :]) * inv_dist  # (np, i, j)
+        if a_adj is not None:
+            mu = mu + a_adj[None] * (1 - mu ** 2)
+        s = 0.5 * (1 - becke_scheme(mu))
+        idx = np.arange(natm)
+        s[:, idx, idx] = 1.0
+        pbecke = np.prod(s, axis=2)                        # (np, natm)
+        w = w0 * pbecke[:, ia] / pbecke.sum(axis=1)
+        coords_all.append(coords)
+        weights_all.append(w)
+    return np.concatenate(coords_all), np.concatenate(weights_all)
+
+
+class Grids:
+    """Molecular integration grid (reference gen_grid.py:487 Grids)."""
+
+    level = 3
+    prune = staticmethod(nwchem_prune)
+    radi_method = staticmethod(radi.treutler)
+    becke_scheme = staticmethod(original_becke)
+    radii_adjust = staticmethod(radi.treutler_atomic_radii_adjust)
+    atomic_radii = radi.BRAGG_RADII
+    atom_grid = None
+
+    def __init__(self, mol):
+        self.mol = mol
+        self.coords = None
+        self.weights = None
+
+    def build(self, **kwargs):
+        mol = self.mol
+        tab = gen_atomic_grids(mol, self.atom_grid, self.radi_method,
+                               self.level, self.prune)
+        coords, weights = get_partition(mol, tab, self.radii_adjust,
+                                        self.atomic_radii, self.becke_scheme)
+        self.coords = jnp.asarray(coords)
+        self.weights = jnp.asarray(weights)
+        return self
+
+    @property
+    def size(self):
+        return 0 if self.weights is None else self.weights.shape[0]
+
+    def kernel(self, **kwargs):
+        return self.build(**kwargs)
+
+    def reset(self, mol=None):
+        if mol is not None:
+            self.mol = mol
+        self.coords = self.weights = None
+        return self

@@ -1,0 +1,68 @@
+"""Restricted Kohn-Sham DFT (analog of reference pyscf/dft/rks.py:547 RKS,
+get_veff:37)."""
+import jax.numpy as jnp
+
+from ..scf.hf import RHF, SCF
+from . import gen_grid
+from . import xc as xc_mod
+from .numint import NumInt
+
+
+class KohnShamDFT:
+    """Mixin adding grids/xc machinery to an SCF class."""
+
+    def _init_ks(self, xc='lda,vwn'):
+        self.xc = xc
+        self.grids = gen_grid.Grids(self.mol)
+        self._numint = NumInt()
+        self._exc = 0.0
+
+    @property
+    def xc_obj(self):
+        return xc_mod.parse_xc(self.xc)
+
+
+class RKS(KohnShamDFT, RHF):
+    def __init__(self, mol, xc='lda,vwn'):
+        RHF.__init__(self, mol)
+        self._init_ks(xc)
+
+    def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
+        mol = mol or self.mol
+        if self.grids.coords is None:
+            self.grids.build()
+        n, exc, vxc = self._numint.nr_rks(mol, self.grids, self.xc, dm)
+        hyb = self._numint.hybrid_coeff(self.xc)
+        if hyb == 0.0:
+            vj = self.get_j(mol, dm)
+            ecoul = 0.5 * float(jnp.einsum('ij,ji->', vj, dm))
+            vxc = vxc + vj
+            ek = 0.0
+        else:
+            vj, vk = self.get_jk(mol, dm)
+            vk = vk * hyb
+            ecoul = 0.5 * float(jnp.einsum('ij,ji->', vj, dm))
+            ek = -0.25 * float(jnp.einsum('ij,ji->', vk, dm))
+            vxc = vxc + vj - 0.5 * vk
+        self._exc = exc
+        self._ecoul = ecoul
+        self._ek = ek
+        return vxc
+
+    def energy_elec(self, dm, h1e, vhf):
+        e1 = float(jnp.einsum('ij,ji->', h1e, dm))
+        return e1 + self._ecoul + self._exc + self._ek
+
+    def nuc_grad_method(self):
+        from ..grad import rks as rks_grad
+        return rks_grad.Gradients(self)
+
+    Gradients = nuc_grad_method
+
+    def TDA(self, **kwargs):
+        from ..tdscf import TDA
+        return TDA(self, **kwargs)
+
+    def TDDFT(self, **kwargs):
+        from ..tdscf import TDDFT
+        return TDDFT(self, **kwargs)

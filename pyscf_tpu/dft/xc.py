@@ -1,0 +1,175 @@
+"""XC functional composition and evaluation (analog of reference
+pyscf/dft/libxc.py parse_xc/eval_xc, with derivatives by jax.grad).
+
+A functional is a list of weighted components plus a hybrid HF-exchange
+fraction. Energy density e(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb)
+is pure jnp; vxc/fxc come from autodiff in numint.
+"""
+from functools import lru_cache
+
+from . import xc_funcs as F
+
+# component kinds
+LDA, GGA, MGGA = 0, 1, 2
+
+
+def _x_slater(ra, rb, saa, sab, sbb):
+    return F.lda_x(ra, rb)
+
+
+def _c_vwn5(ra, rb, saa, sab, sbb):
+    return F.vwn5_c(ra, rb)
+
+
+def _c_vwn3(ra, rb, saa, sab, sbb):
+    return F.vwn3_c(ra, rb)
+
+
+def _c_pw92(ra, rb, saa, sab, sbb):
+    return F.pw92_c(ra, rb)
+
+
+def _x_b88(ra, rb, saa, sab, sbb):
+    return F.b88_x(ra, rb, saa, sbb)
+
+
+def _x_pbe(ra, rb, saa, sab, sbb):
+    return F.pbe_x(ra, rb, saa, sbb)
+
+
+def _c_pbe(ra, rb, saa, sab, sbb):
+    return F.pbe_c(ra, rb, saa + 2 * sab + sbb)
+
+
+def _c_lyp(ra, rb, saa, sab, sbb):
+    return F.lyp_c(ra, rb, saa, sab, sbb)
+
+
+# name -> (family, fn)
+FUNCTIONALS = {
+    'SLATER': (LDA, _x_slater),
+    'LDA': (LDA, _x_slater),
+    'XALPHA': (LDA, _x_slater),
+    'VWN': (LDA, _c_vwn5),
+    'VWN5': (LDA, _c_vwn5),
+    'VWN3': (LDA, _c_vwn3),
+    'VWN_RPA': (LDA, _c_vwn3),
+    'PW92': (LDA, _c_pw92),
+    'PW': (LDA, _c_pw92),
+    'PW_LDA': (LDA, _c_pw92),
+    'B88': (GGA, _x_b88),
+    'B': (GGA, _x_b88),
+    'PBE_X': (GGA, _x_pbe),
+    'PBE_C': (GGA, _c_pbe),
+    'LYP': (GGA, _c_lyp),
+}
+
+# compound aliases: (hyb, [(coeff, xname)], [(coeff, cname)])
+COMPOUND = {
+    'LDA,VWN': (0.0, [(1.0, 'SLATER')], [(1.0, 'VWN5')]),
+    'LDA': (0.0, [(1.0, 'SLATER')], []),
+    'SVWN': (0.0, [(1.0, 'SLATER')], [(1.0, 'VWN5')]),
+    'PBE': (0.0, [(1.0, 'PBE_X')], [(1.0, 'PBE_C')]),
+    'PBE0': (0.25, [(0.75, 'PBE_X')], [(1.0, 'PBE_C')]),
+    'PBEH': (0.25, [(0.75, 'PBE_X')], [(1.0, 'PBE_C')]),
+    'BLYP': (0.0, [(1.0, 'B88')], [(1.0, 'LYP')]),
+    'BP86': None,   # TODO: P86 correlation
+    'B3LYP': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+              [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
+    'B3LYP5': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+               [(0.81, 'LYP'), (0.19, 'VWN5')]),
+    'B3LYPG': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+               [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
+    'HF': (1.0, [], []),
+}
+
+
+class XCFunctional:
+    def __init__(self, hyb, terms):
+        self.hyb = hyb               # HF exchange fraction
+        self.terms = terms           # [(coeff, family, fn)]
+        self.family = max((f for _, f, _ in terms), default=LDA)
+        # range separation (omega, alpha, beta) — 0 for global hybrids
+        self.omega = 0.0
+
+    def exc_density(self, ra, rb, saa, sab, sbb):
+        e = 0.0
+        for c, fam, fn in self.terms:
+            e = e + c * fn(ra, rb, saa, sab, sbb)
+        return e
+
+    @property
+    def is_hybrid(self):
+        return self.hyb != 0.0
+
+    @property
+    def is_gga(self):
+        return self.family >= GGA
+
+    @property
+    def is_lda(self):
+        return self.family == LDA
+
+
+def _parse_terms(spec, default_kind):
+    """Parse 'A + 0.5*B' style sums into [(coeff, NAME)]."""
+    out = []
+    for tok in spec.replace('-', '_MINUS_').split('+'):
+        tok = tok.strip().replace('_MINUS_', '-')
+        if not tok:
+            continue
+        coeff = 1.0
+        name = tok
+        if '*' in tok:
+            c, name = tok.split('*')
+            coeff = float(c)
+        out.append((coeff, name.strip().upper()))
+    return out
+
+
+@lru_cache(maxsize=None)
+def parse_xc(xc_code):
+    """Parse an XC specification string into an XCFunctional."""
+    if not isinstance(xc_code, str):
+        raise TypeError(xc_code)
+    code = xc_code.upper().replace(' ', '')
+    if code in COMPOUND and COMPOUND[code] is not None:
+        hyb, xs, cs = COMPOUND[code]
+        terms = []
+        for c, n in xs + cs:
+            fam, fn = FUNCTIONALS[n]
+            terms.append((c, fam, fn))
+        return XCFunctional(hyb, terms)
+    hyb = 0.0
+    terms = []
+    if ',' in code:
+        xpart, cpart = code.split(',', 1)
+        parts = [(xpart, 'X'), (cpart, 'C')]
+    else:
+        parts = [(code, 'X')]
+    for spec, kind in parts:
+        for coeff, name in _parse_terms(spec, kind):
+            if name in ('HF',):
+                hyb += coeff
+                continue
+            key = name
+            if key not in FUNCTIONALS and f'{key}_{kind}' in FUNCTIONALS:
+                key = f'{key}_{kind}'
+            if key not in FUNCTIONALS:
+                raise KeyError(f'Unknown XC functional component {name!r} '
+                               f'in {xc_code!r}')
+            fam, fn = FUNCTIONALS[key]
+            terms.append((coeff, fam, fn))
+    return XCFunctional(hyb, terms)
+
+
+def hybrid_coeff(xc_code):
+    return parse_xc(xc_code).hyb
+
+
+def is_gga(xc_code):
+    return parse_xc(xc_code).is_gga
+
+
+def is_lda(xc_code):
+    return parse_xc(xc_code).is_lda

@@ -77,3 +77,15 @@ def test_dipole(mol_sto3g):
     mu = mf.dip_moment()
     # H2O STO-3G dipole ~1.7 Debye along +z with this geometry
     assert abs(np.linalg.norm(mu) - 1.73) < 0.1
+
+
+def test_df_rhf():
+    mol = pt.M(atom=ATOM, basis='cc-pvdz', verbose=0)
+    mf = mol.RHF().density_fit()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-10
+    e = mf.kernel()
+    assert mf.converged
+    # DF error vs exact RHF should be ~2e-5 with cc-pvdz-jkfit
+    assert abs(e - (-76.026765673119627)) < 1e-3
+    assert abs(e - (-76.026765673119627)) > 1e-8
