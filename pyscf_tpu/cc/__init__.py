@@ -1,0 +1,2 @@
+"""Coupled cluster (analog of reference pyscf/cc)."""
+from .ccsd import CCSD, RCCSD

@@ -1,0 +1,2 @@
+"""Moller-Plesset perturbation theory (analog of reference pyscf/mp)."""
+from .mp2 import MP2, RMP2

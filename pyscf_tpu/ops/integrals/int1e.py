@@ -179,6 +179,21 @@ def int1e_ovlp(mol):
     return _assemble(mol, ovlp_chunk)
 
 
+def int1e_ovlp_cross(mol1, mol2):
+    """Overlap between the AO bases of two molecules: (nao1, nao2)."""
+    out = np.zeros((mol1.nao, mol2.nao))
+    for la, ga in mol1.shell_groups.items():
+        Sa = cart2sph(la)
+        ia = (ga.ao_off[:, None] + np.arange(2 * la + 1)).ravel()
+        for lb, gb in mol2.shell_groups.items():
+            Sb = cart2sph(lb)
+            jb = (gb.ao_off[:, None] + np.arange(2 * lb + 1)).ravel()
+            blk = _run_chunked(ovlp_chunk, la, lb, ga, gb)
+            blk = np.einsum('mp,abpq,nq->ambn', Sa, blk, Sb, optimize=True)
+            out[np.ix_(ia, jb)] = blk.reshape(ia.size, jb.size)
+    return jnp.asarray(out)
+
+
 def int1e_kin(mol):
     return _assemble(mol, kin_chunk)
 

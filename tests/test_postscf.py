@@ -1,0 +1,63 @@
+"""MP2 / CCSD / CCSD(T) golden-value tests.
+
+Goldens from the reference's module self-checks (pyscf/mp/mp2.py:942,
+pyscf/cc/ccsd.py:1720, pyscf/cc/ccsd_t.py:273), H2O/cc-pVDZ at the
+standard test geometry.
+"""
+import pytest
+
+import pyscf_tpu as pt
+
+ATOM = 'O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587'
+
+
+@pytest.fixture(scope='module')
+def rhf_dz():
+    mol = pt.M(atom=ATOM, basis='cc-pvdz', verbose=0)
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    assert mf.converged
+    return mf
+
+
+@pytest.mark.slow
+def test_mp2(rhf_dz):
+    emp2, t2 = pt.mp.MP2(rhf_dz).kernel()
+    assert abs(emp2 - (-0.204019967288338)) < 1e-8
+
+
+@pytest.mark.slow
+def test_ccsd_and_t(rhf_dz):
+    cc = pt.cc.CCSD(rhf_dz)
+    cc.verbose = 0
+    cc.conv_tol = 1e-10
+    cc.conv_tol_normt = 1e-8
+    ecc, t1, t2 = cc.kernel()
+    assert cc.converged
+    assert abs(ecc - (-0.213343234198275)) < 1e-8
+    et = cc.ccsd_t()
+    assert abs(et - (-0.003060022611584471)) < 1e-8
+
+
+def test_mp2_h2():
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='cc-pvdz', verbose=0)
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-12
+    mf.verbose = 0
+    mf.kernel()
+    emp2, _ = pt.mp.MP2(mf).kernel()
+    # H2/cc-pVDZ MP2 correlation ~ -0.0264 Ha
+    assert -0.028 < emp2 < -0.025
+
+
+def test_dfmp2_close_to_mp2(rhf_dz):
+    mf2 = rhf_dz.mol.RHF().density_fit()
+    mf2.init_guess = 'hcore'
+    mf2.conv_tol = 1e-12
+    mf2.verbose = 0
+    mf2.kernel()
+    emp2_df, _ = pt.mp.MP2(mf2).kernel()
+    assert abs(emp2_df - (-0.204019967288338)) < 2e-3
