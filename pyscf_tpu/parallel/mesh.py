@@ -1,0 +1,129 @@
+"""Multi-chip execution: device meshes and sharded Fock builds.
+
+TPU-native replacement for the reference's MPI layer (pyscf/pbc/mpitools,
+agf2/mpi_helper.py, external mpi4pyscf): instead of rank partitioning +
+bcast/allreduce, arrays are sharded over a jax.sharding.Mesh and XLA
+inserts ICI collectives (psum) via shard_map.
+
+Sharding axes (SURVEY §2.4): DF-JK over the auxiliary dimension, XC over
+grid blocks, post-HF tensors over virtual-orbital tiles.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def default_mesh(n_devices=None, axis='data'):
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def pad_to_multiple(x, n, axis=0):
+    size = x.shape[axis]
+    target = -(-size // n) * n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad)
+
+
+def sharded_df_jk(mesh):
+    """DF J/K build with the aux dimension sharded over the mesh.
+
+    B: (naux_padded, nao, nao) sharded on axis 0; dm replicated.
+    Each device contracts its aux slice; psum over the mesh.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None, None), P(None, None)),
+             out_specs=(P(None, None), P(None, None)))
+    def jk(B, dm):
+        rho = jnp.einsum('pkl,lk->p', B, dm)
+        vj = jax.lax.psum(jnp.einsum('p,pij->ij', rho, B), axis)
+        Bd = jnp.einsum('pil,lk->pik', B, dm)
+        vk = jax.lax.psum(jnp.einsum('pik,pkj->ij', Bd, B), axis)
+        return vj, vk
+
+    return jk
+
+
+def sharded_xc(mesh, mol, xc_code):
+    """LDA/GGA XC integration with grid points sharded over the mesh.
+
+    coords: (ngrid_padded, 3), weights: (ngrid_padded,) sharded on axis 0.
+    Returns (nelec, exc, vxc) replicated.
+    """
+    from ..dft import xc as xc_mod
+    from ..dft.numint import RHO_THR
+    from ..ops.eval_gto import eval_ao
+    axis = mesh.axis_names[0]
+    xc = xc_mod.parse_xc(xc_code)
+
+    def edens(rho, sigma):
+        ra = 0.5 * rho
+        s4 = 0.25 * sigma
+        return xc.exc_density(ra, ra, s4, s4, s4)
+
+    exc_grad = jax.grad(lambda r, s: jnp.sum(edens(r, s)), argnums=(0, 1))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis), P(None, None)),
+             out_specs=(P(), P(), P(None, None)))
+    def run(coords, weights, dm):
+        aod = eval_ao(mol, coords, deriv=1)
+        ao = aod[0]
+        dmao = ao @ dm
+        rho = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
+        grho = 2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
+        sigma = jnp.einsum('db,db->b', grho, grho)
+        mask = rho > RHO_THR
+        rho_s = jnp.where(mask, rho, 1.0)
+        sigma_s = jnp.where(mask, sigma, 1.0)
+        e = jnp.sum(jnp.where(mask, weights * edens(rho_s, sigma_s), 0.0))
+        vrho, vsigma = exc_grad(rho_s, sigma_s)
+        wv = jnp.where(mask, weights * vrho, 0.0)
+        wvs = jnp.where(mask, weights * vsigma, 0.0)
+        vtmp = 0.5 * wv[:, None] * ao \
+            + 2.0 * jnp.einsum('b,db,dbi->bi', wvs, grho, aod[1:])
+        vmat = ao.T @ vtmp
+        n = jax.lax.psum(jnp.sum(weights * rho), axis)
+        e = jax.lax.psum(e, axis)
+        vmat = jax.lax.psum(vmat, axis)
+        return n, e, vmat + vmat.T
+
+    return run
+
+
+def sharded_scf_step(mesh, mol, xc_code='b3lypg'):
+    """One full KS-DFT SCF iteration sharded over the mesh.
+
+    Returns a jittable fn(B, coords, weights, dm, h1e, x_orth, hyb)
+    -> (e_elec, dm_new). DF-JK sharded over aux, XC sharded over grid,
+    diagonalization replicated (small dense eigh).
+    """
+    jk = sharded_df_jk(mesh)
+    xcrun = sharded_xc(mesh, mol, xc_code)
+    nocc = mol.nelectron // 2
+
+    @jax.jit
+    def step(B, coords, weights, dm, h1e, x_orth, hyb):
+        n, exc, vxc = xcrun(coords, weights, dm)
+        vj, vk = jk(B, dm)
+        fock = h1e + vxc + vj - 0.5 * hyb * vk
+        ecoul = 0.5 * jnp.einsum('ij,ji->', vj, dm)
+        ek = -0.25 * hyb * jnp.einsum('ij,ji->', vk, dm)
+        e1 = jnp.einsum('ij,ji->', h1e, dm)
+        e_elec = e1 + ecoul + exc + ek
+        fp = x_orth.T @ fock @ x_orth
+        e, cp = jnp.linalg.eigh(fp)
+        c = x_orth @ cp
+        occ = jnp.where(jnp.arange(c.shape[1]) < nocc, 2.0, 0.0)
+        dm_new = (c * occ[None, :]) @ c.T
+        return e_elec, dm_new
+
+    return step
