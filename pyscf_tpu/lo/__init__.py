@@ -1,0 +1,2 @@
+"""Orbital localization (analog of reference pyscf/lo)."""
+from .boys import Boys

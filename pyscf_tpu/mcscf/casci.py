@@ -1,0 +1,82 @@
+"""CASCI (analog of reference pyscf/mcscf/casci.py: CASCI:1106, kernel:563,
+h1e_for_cas:44)."""
+import numpy as np
+import jax.numpy as jnp
+
+from ..fci import direct_spin1
+
+
+class CASCI:
+    def __init__(self, mf, ncas, nelecas, ncore=None):
+        self._scf = mf
+        self.mol = mf.mol
+        self.mo_coeff = mf.mo_coeff
+        self.ncas = ncas
+        if isinstance(nelecas, (int, np.integer)):
+            nb = (nelecas - mf.mol.spin) // 2
+            self.nelecas = (nelecas - nb, nb)
+        else:
+            self.nelecas = tuple(nelecas)
+        if ncore is None:
+            ncore = (mf.mol.nelectron - sum(self.nelecas)) // 2
+        self.ncore = ncore
+        self.fcisolver = direct_spin1
+        self.e_tot = None
+        self.ci = None
+        self.verbose = mf.mol.verbose
+
+    def h1e_for_cas(self, mo_coeff=None):
+        mo = mo_coeff if mo_coeff is not None else self.mo_coeff
+        ncore, ncas = self.ncore, self.ncas
+        mo_core = mo[:, :ncore]
+        mo_cas = mo[:, ncore:ncore + ncas]
+        hcore = self._scf.get_hcore()
+        if ncore > 0:
+            dm_core = 2.0 * mo_core @ mo_core.T
+            vj, vk = self._scf.get_jk(self.mol, dm_core)
+            veff = vj - 0.5 * vk
+            ecore = (self.mol.energy_nuc()
+                     + float(jnp.einsum('ij,ji->', hcore, dm_core))
+                     + 0.5 * float(jnp.einsum('ij,ji->', veff, dm_core)))
+            h1 = mo_cas.T @ (hcore + veff) @ mo_cas
+        else:
+            ecore = self.mol.energy_nuc()
+            h1 = mo_cas.T @ hcore @ mo_cas
+        return np.asarray(h1), ecore
+
+    def get_h2eff(self, mo_coeff=None):
+        mo = mo_coeff if mo_coeff is not None else self.mo_coeff
+        mo_cas = mo[:, self.ncore:self.ncore + self.ncas]
+        from .. import ao2mo
+        eri_ao = self._scf._eri
+        if eri_ao is None:
+            eri_ao = self.mol.intor('int2e')
+            self._scf._eri = eri_ao
+        return np.asarray(ao2mo.full(eri_ao, jnp.asarray(mo_cas)))
+
+    def kernel(self, mo_coeff=None, ci0=None):
+        mo = mo_coeff if mo_coeff is not None else self.mo_coeff
+        h1, ecore = self.h1e_for_cas(mo)
+        eri_cas = self.get_h2eff(mo)
+        e_tot, ci = self.fcisolver.kernel(h1, eri_cas, self.ncas,
+                                          self.nelecas, ecore=ecore, ci0=ci0)
+        self.e_tot = e_tot
+        self.ci = ci
+        self.e_cas = e_tot - ecore
+        if self.verbose >= 4:
+            print(f'CASCI E = {e_tot:.12f}')
+        return e_tot, self.e_cas, ci
+
+    run = kernel
+
+    def make_rdm1(self, ci=None, mo_coeff=None):
+        """AO-basis total 1-RDM (core + active)."""
+        ci = ci if ci is not None else self.ci
+        mo = mo_coeff if mo_coeff is not None else self.mo_coeff
+        ncore, ncas = self.ncore, self.ncas
+        casdm1 = direct_spin1.make_rdm1(ci, ncas, self.nelecas)
+        mo_core = mo[:, :ncore]
+        mo_cas = mo[:, ncore:ncore + ncas]
+        dm = 2.0 * mo_core @ mo_core.T
+        dm = dm + mo_cas @ jnp.asarray(casdm1) @ mo_cas.T
+        return dm

@@ -30,7 +30,7 @@ import numpy as np
 
 from .cart2sph import cart2sph
 from .hermite import (e3d, cart_components, tuv_components, tuv_index,
-                      hermite_R)
+                      n_tuv, hermite_R)
 
 PAIR_CHUNK = 128      # primitive-pair chunk size (bra side)
 AUX_CHUNK = 256       # aux/ket chunk
@@ -96,19 +96,20 @@ def _phase(L):
 
 
 @lru_cache(maxsize=None)
-def _comb_onehot(L1, L2):
-    """One-hot (nt1*nt2, ntuv(L1+L2)) matrix: gather-as-matmul for R."""
+def _comb_onehot3(L1, L2):
+    """Dense (nt1, nt2, ntuv(L1+L2)) +-1 combination tensor.
+
+    W3[s, t, L] = phase(t) if tuv_s + tuv_t == tuv_L else 0.
+    """
     idx12 = tuv_index(L1 + L2)
     t1 = tuv_components(L1)
     t2 = tuv_components(L2)
     phase = _phase(L2)
-    W = np.zeros((len(t1) * len(t2), len(tuv_components(L1 + L2))))
-    k = 0
-    for c1 in t1:
+    W = np.zeros((len(t1), len(t2), len(tuv_components(L1 + L2))))
+    for i, c1 in enumerate(t1):
         for j, c2 in enumerate(t2):
-            W[k, idx12[(c1[0] + c2[0], c1[1] + c2[1], c1[2] + c2[2])]] = \
+            W[i, j, idx12[(c1[0] + c2[0], c1[1] + c2[1], c1[2] + c2[2])]] = \
                 phase[j]
-            k += 1
     return W
 
 
@@ -117,7 +118,8 @@ def _eri_chunk(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
     """ERI between two pair-class chunks.
 
     p1 (C1,), P1 (C1,3), E1 (C1, nc1, nt1); same for 2.
-    Returns (C1, nc1, C2, nc2).
+    Returns (C1, nc1, C2, nc2). Contraction is ordered so the largest
+    intermediate is (C1, C2, nc2*nt1): one big MXU matmul over ntuv(L).
     """
     pp = p1[:, None] * p2[None, :]
     ps = p1[:, None] + p2[None, :]
@@ -127,10 +129,18 @@ def _eri_chunk(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
     R = hermite_R(L, omega, rpq)                      # (C1, C2, ntuv(L))
     pref = 2.0 * jnp.pi ** 2.5 / (pp * jnp.sqrt(ps))
     R = R * pref[..., None]
-    W = jnp.asarray(_comb_onehot(L1, L2))             # (nt1*nt2, ntuv(L))
-    M = (R @ W.T).reshape(R.shape[0], R.shape[1], nt1, nt2)
-    tmp = jnp.einsum('abst,bqt->absq', M, E2)         # (C1, C2, nt1, nc2)
-    out = jnp.einsum('aps,absq->apbq', E1, tmp)       # (C1, nc1, C2, nc2)
+    W3 = jnp.asarray(_comb_onehot3(L1, L2))           # (nt1, nt2, ntL)
+    # fold ket E and the tuv-combination into one ket-side factor
+    P2f = jnp.einsum('bqt,stL->bqsL', E2, W3)         # (C2, nc2, nt1, ntL)
+    C2, nc2 = E2.shape[0], E2.shape[1]
+    ntL = R.shape[-1]
+    Q = jax.lax.dot_general(
+        R.reshape(R.shape[0], C2, ntL),
+        P2f.reshape(C2, nc2 * nt1, ntL),
+        dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+        preferred_element_type=R.dtype)               # (C2, C1, nc2*nt1)
+    Q = Q.reshape(C2, R.shape[0], nc2, nt1)
+    out = jnp.einsum('aps,baqs->apbq', E1, Q)         # (C1, nc1, C2, nc2)
     return out
 
 
@@ -305,4 +315,127 @@ def int2c2e(mol):
             jy = ay.g.ao_off[:, None] + np.arange(2 * ly + 1)
             out[np.ix_(ix.ravel(), jy.ravel())] = \
                 blk.reshape(ix.size, jy.size)
+    return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# Derivative ERIs: (nabla mu nu | la si) for nuclear gradients
+# ---------------------------------------------------------------------------
+
+class DerivPairClass:
+    """Hermite pair data for d/dA(bra) of an (la,lb) class.
+
+    E has the cart axis enlarged to 3*nca*ncb (derivative direction major),
+    with ntuv of order la+1+lb; reuses _eri_chunk unchanged.
+    """
+
+    def __init__(self, mol, la, lb, chunk=PAIR_CHUNK):
+        ga, gb = mol.shell_groups[la], mol.shell_groups[lb]
+        ea, ca_, ra = (jnp.asarray(ga.exps), jnp.asarray(ga.coeffs),
+                       jnp.asarray(ga.coords))
+        eb, cb_, rb = (jnp.asarray(gb.exps), jnp.asarray(gb.coeffs),
+                       jnp.asarray(gb.coords))
+        p, P, Ep = _pair_data_kernel(la + 1, lb, ea, ca_, ra, eb, cb_, rb)
+        if la >= 1:
+            _, _, Em = _pair_data_kernel(la - 1, lb, ea, ca_, ra, eb, cb_, rb)
+        nsa, Ka = ga.exps.shape
+        nsb, Kb = gb.exps.shape
+        m = nsa * nsb * Ka * Kb
+        a_flat = jnp.broadcast_to(ea[:, None, :, None],
+                                  (nsa, nsb, Ka, Kb)).reshape(m)
+        nca = len(cart_components(la))
+        ncb = len(cart_components(lb))
+        ncap = len(cart_components(la + 1))
+        ntL = n_tuv(la + 1 + lb)
+        Ep = Ep.reshape(m, ncap, ncb, -1)
+        if la >= 1:
+            ncam = len(cart_components(la - 1))
+            Em = Em.reshape(m, ncam, ncb, -1)
+            ntm = Em.shape[-1]
+        carts = cart_components(la)
+        idxp = {c: i for i, c in enumerate(cart_components(la + 1))}
+        if la >= 1:
+            idxm = {c: i for i, c in enumerate(cart_components(la - 1))}
+        blocks = []
+        for d in range(3):
+            cols = []
+            for c in carts:
+                up = list(c); up[d] += 1
+                v = 2.0 * a_flat[:, None, None] * Ep[:, idxp[tuple(up)]]
+                if c[d] >= 1:
+                    dn = list(c); dn[d] -= 1
+                    v = v.at[..., :ntm].add(-c[d] * Em[:, idxm[tuple(dn)]])
+                cols.append(v)
+            blocks.append(jnp.stack(cols, axis=1))     # (m, nca, ncb, ntL)
+        E = jnp.stack(blocks, axis=1)                  # (m, 3, nca, ncb, ntL)
+        E = E.reshape(m, 3 * nca * ncb, ntL)
+        self.la, self.lb = la, lb
+        self.ga, self.gb = ga, gb
+        self.m = m
+        self.nc = E.shape[1]
+        self.nt = ntL
+        self.L = la + 1 + lb
+        nchunk = -(-m // chunk)
+        pad = nchunk * chunk - m
+        self.nchunk = nchunk
+        self.chunk = chunk
+        self.p = jnp.pad(p, (0, pad), constant_values=1.0).reshape(
+            nchunk, chunk)
+        self.P = jnp.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+            nchunk, chunk, self.nc, ntL)
+
+    @property
+    def KK(self):
+        return self.ga.nprim * self.gb.nprim
+
+
+def _deriv_class_pair_block(pc1, pc2):
+    """(d(ab)|cd) block -> numpy (nsa,nsb,3*nc_ab, nsc,nsd,nc_cd)."""
+    acc = None
+    for i in range(pc1.nchunk):
+        row = []
+        for j in range(pc2.nchunk):
+            blk = _eri_chunk(pc1.L, pc2.la + pc2.lb, pc1.nt, pc2.nt,
+                             pc1.p[i], pc1.P[i], pc1.E[i],
+                             pc2.p[j], pc2.P[j], pc2.E[j])
+            row.append(blk)
+        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
+    out = np.asarray(acc)[:pc1.m, :, :pc2.m, :]
+    nsa, nsb = pc1.ga.nshl, pc1.gb.nshl
+    nsc, nsd = pc2.ga.nshl, pc2.gb.nshl
+    out = out.reshape(nsa, nsb, pc1.KK, pc1.nc, nsc, nsd, pc2.KK, pc2.nc)
+    return out.sum(axis=(2, 6))
+
+
+def int2e_ip1(mol):
+    """(3, nao, nao, nao, nao): d/d(bra-center) of (mu nu|la si)."""
+    nao = mol.nao
+    out = np.zeros((3, nao, nao, nao, nao))
+    ls = sorted(mol.shell_groups.keys())
+    kets = {}
+    for lc in ls:
+        for ld in ls:
+            kets[(lc, ld)] = PairClass(mol, lc, ld)
+    for la in ls:
+        for lb in ls:
+            dpc = DerivPairClass(mol, la, lb)
+            nca, ncb = len(cart_components(la)), len(cart_components(lb))
+            ia = (dpc.ga.ao_off[:, None] + np.arange(2 * la + 1)).ravel()
+            jb = (dpc.gb.ao_off[:, None] + np.arange(2 * lb + 1)).ravel()
+            for (lc, ld), pc2 in kets.items():
+                ncc, ncd = (len(cart_components(lc)),
+                            len(cart_components(ld)))
+                blk = _deriv_class_pair_block(dpc, pc2)
+                nsa, nsb = dpc.ga.nshl, dpc.gb.nshl
+                nsc, nsd = pc2.ga.nshl, pc2.gb.nshl
+                blk = blk.reshape(nsa, nsb, 3, nca, ncb, nsc, nsd, ncc, ncd)
+                blk = np.einsum('mp,nq,abxpqcdrs,kr,ls->xambnckdl',
+                                _sph(la), _sph(lb), blk, _sph(lc), _sph(ld),
+                                optimize=True)
+                kc = (pc2.ga.ao_off[:, None] + np.arange(2 * lc + 1)).ravel()
+                ld_ = (pc2.gb.ao_off[:, None] + np.arange(2 * ld + 1)).ravel()
+                out[np.ix_(np.arange(3), ia, jb, kc, ld_)] = \
+                    blk.reshape(3, ia.size, jb.size, kc.size, ld_.size)
     return jnp.asarray(out)

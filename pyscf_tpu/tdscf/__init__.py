@@ -1,0 +1,2 @@
+"""Time-dependent SCF (analog of reference pyscf/tdscf)."""
+from .rhf import TDA, TDHF, TDDFT, get_ab

@@ -1,0 +1,174 @@
+"""TDA / TDHF (RPA) excited states for closed-shell references.
+
+Analog of reference pyscf/tdscf/rhf.py (TDA:920, TDHF:1156, get_ab:137).
+Round-1 path builds the full A/B matrices densely (MXU) and diagonalizes;
+the Davidson path (reference _lr_eig.py) comes with larger systems.
+For KS references the fxc kernel is obtained from jax.hessian of the XC
+energy density (replacing the reference's libxc 2nd-derivative tables).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def get_ab(mf):
+    """Full singlet A and B matrices in the MO ov space."""
+    mol = mf.mol
+    occ = np.asarray(mf.mo_occ) > 0
+    co = mf.mo_coeff[:, occ]
+    cv = mf.mo_coeff[:, ~occ]
+    eo = np.asarray(mf.mo_energy)[occ]
+    ev = np.asarray(mf.mo_energy)[~occ]
+    nocc, nvir = co.shape[1], cv.shape[1]
+
+    from .. import ao2mo
+    eri_ao = getattr(mf, '_eri', None)
+    if eri_ao is None and getattr(mf, 'with_df', None) is None:
+        eri_ao = mol.intor('int2e')
+        mf._eri = eri_ao
+    if getattr(mf, 'with_df', None) is not None:
+        from ..df.df_jk import _bmo
+        B3 = mf.with_df.cderi
+        Bov = _bmo(B3, co, cv)
+        Boo = _bmo(B3, co, co)
+        Bvv = _bmo(B3, cv, cv)
+        ovov = jnp.einsum('xia,xjb->iajb', Bov, Bov)
+        oovv = jnp.einsum('xij,xab->ijab', Boo, Bvv)
+    else:
+        ovov = ao2mo.general(eri_ao, (co, cv, co, cv))
+        oovv = ao2mo.general(eri_ao, (co, co, cv, cv))
+
+    hyb = 1.0
+    is_ks = hasattr(mf, 'xc')
+    if is_ks:
+        from ..dft import xc as xc_mod
+        hyb = xc_mod.hybrid_coeff(mf.xc)
+
+    a = jnp.zeros((nocc, nvir, nocc, nvir))
+    diag = (ev[None, :] - eo[:, None])
+    idx_o = np.arange(nocc)
+    idx_v = np.arange(nvir)
+    a = a.at[idx_o[:, None], idx_v[None, :], idx_o[:, None],
+             idx_v[None, :]].add(jnp.asarray(diag))
+    a = a + 2.0 * ovov - hyb * oovv.transpose(0, 2, 1, 3)
+    b = 2.0 * ovov - hyb * ovov.transpose(0, 3, 2, 1)
+
+    if is_ks:
+        a_xc, b_xc = _fxc_ov(mf, co, cv)
+        a = a + a_xc
+        b = b + b_xc
+    return a, b
+
+
+def _fxc_ov(mf, co, cv):
+    """Singlet fxc coupling matrices from jax.hessian of the XC energy."""
+    from ..dft import xc as xc_mod
+    from ..ops.eval_gto import eval_ao
+    from ..dft.numint import _pad_grid, RHO_THR
+    xc = xc_mod.parse_xc(mf.xc)
+    if mf.grids.coords is None:
+        mf.grids.build()
+    coords, weights = _pad_grid(mf.grids.coords, mf.grids.weights)
+    dm = mf.make_rdm1()
+    gga = xc.is_gga
+
+    def e_of_u(u):
+        # u = (rho, gx, gy, gz) features at one point
+        rho = u[0]
+        sigma = u[1] ** 2 + u[2] ** 2 + u[3] ** 2
+        ra = 0.5 * rho
+        s4 = 0.25 * sigma
+        return xc.exc_density(ra, ra, s4, s4, s4)
+
+    hess_fn = jax.vmap(jax.hessian(e_of_u))
+
+    nocc, nvir = co.shape[1], cv.shape[1]
+    nov = nocc * nvir
+    a_xc = jnp.zeros((nov, nov))
+
+    @jax.jit
+    def block(c, w, dm):
+        aod = eval_ao(mf.mol, c, deriv=1)       # (4, B, nao)
+        ao = aod[0]
+        dmao = ao @ dm
+        rho = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
+        grho = 2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
+        mask = rho > RHO_THR
+        u = jnp.stack([jnp.where(mask, rho, 1.0),
+                       jnp.where(mask, grho[0], 0.0),
+                       jnp.where(mask, grho[1], 0.0),
+                       jnp.where(mask, grho[2], 0.0)], axis=1)   # (B, 4)
+        H = hess_fn(u)                                          # (B, 4, 4)
+        H = jnp.where(mask[:, None, None], H, 0.0)
+        # pair features P_ia(r) = [phi_i phi_a, grad(phi_i phi_a)]
+        aoo = jnp.einsum('bm,mi->bi', ao, co)
+        aov = jnp.einsum('bm,ma->ba', ao, cv)
+        doo = jnp.einsum('dbm,mi->dbi', aod[1:], co)
+        dov = jnp.einsum('dbm,ma->dba', aod[1:], cv)
+        P0 = jnp.einsum('bi,ba->bia', aoo, aov)                # (B, no, nv)
+        Pd = (jnp.einsum('dbi,ba->dbia', doo, aov)
+              + jnp.einsum('bi,dba->dbia', aoo, dov))
+        P = jnp.concatenate([P0[None], Pd], axis=0)            # (4, B, no, nv)
+        P = P.reshape(4, P.shape[1], nov)
+        # A_xc = 2 * sum_g w P^T H P  (singlet factor 2, drho = 2 sum P z)
+        HP = jnp.einsum('buv,vbx->ubx', H, P)
+        blk = 2.0 * jnp.einsum('ubx,b,uby->xy', P, w, HP)
+        return blk
+
+    for i in range(coords.shape[0]):
+        a_xc = a_xc + block(coords[i], weights[i], dm)
+    a_xc = a_xc.reshape(nocc, nvir, nocc, nvir)
+    return a_xc, a_xc
+
+
+class TDA:
+    nstates = 3
+    singlet = True
+
+    def __init__(self, mf):
+        self._scf = mf
+        self.mol = mf.mol
+        self.e = None
+        self.xy = None
+
+    def kernel(self, nstates=None):
+        n = nstates or self.nstates
+        a, b = get_ab(self._scf)
+        nocc, nvir = a.shape[0], a.shape[1]
+        amat = np.asarray(a).reshape(nocc * nvir, nocc * nvir)
+        w, v = np.linalg.eigh(amat)
+        self.e = w[:n]
+        self.xy = [(v[:, i].reshape(nocc, nvir) * np.sqrt(0.5), 0)
+                   for i in range(n)]
+        return self.e
+
+    run = kernel
+
+    @property
+    def e_tot(self):
+        return np.asarray(self._scf.e_tot) + self.e
+
+
+class TDHF(TDA):
+    def kernel(self, nstates=None):
+        n = nstates or self.nstates
+        a, b = get_ab(self._scf)
+        nocc, nvir = a.shape[0], a.shape[1]
+        nov = nocc * nvir
+        amat = np.asarray(a).reshape(nov, nov)
+        bmat = np.asarray(b).reshape(nov, nov)
+        # Casida: (A-B)^(1/2) (A+B) (A-B)^(1/2) Z = w^2 Z (real orbitals)
+        apb = amat + bmat
+        amb = amat - bmat
+        w2_amb, v_amb = np.linalg.eigh(amb)
+        w2_amb = np.clip(w2_amb, 1e-14, None)
+        sqrt_amb = (v_amb * np.sqrt(w2_amb)) @ v_amb.T
+        m = sqrt_amb @ apb @ sqrt_amb
+        w2, z = np.linalg.eigh(m)
+        w = np.sqrt(np.clip(w2, 0, None))
+        self.e = w[:n]
+        self.xy = None
+        return self.e
+
+
+TDDFT = TDHF

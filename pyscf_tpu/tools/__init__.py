@@ -1,0 +1,2 @@
+"""File-format tools (analog of reference pyscf/tools)."""
+from . import fcidump, cubegen, molden

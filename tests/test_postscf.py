@@ -61,3 +61,52 @@ def test_dfmp2_close_to_mp2(rhf_dz):
     mf2.kernel()
     emp2_df, _ = pt.mp.MP2(mf2).kernel()
     assert abs(emp2_df - (-0.204019967288338)) < 2e-3
+
+
+def test_fci_h2():
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-12
+    mf.verbose = 0
+    mf.kernel()
+    from pyscf_tpu.fci import FCI
+    e, c = FCI(mf).kernel()
+    # textbook H2/STO-3G FCI at R = 0.74 A
+    assert abs(e - (-1.1372838344885023)) < 1e-8
+
+
+def test_casci_casscf():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    from pyscf_tpu.mcscf import CASCI, CASSCF
+    e_casci, _, ci = CASCI(mf, 4, 4).kernel()
+    assert e_casci < mf.e_tot          # correlation lowers energy
+    mc = CASSCF(mf, 4, 4)
+    mc.verbose = 0
+    e_casscf, _, _ = mc.kernel()
+    assert mc.converged
+    assert e_casscf < e_casci - 1e-5   # orbital relaxation lowers further
+
+
+def test_fci_rdm_energy_consistency():
+    """E from (dm1, dm2) must reproduce the FCI eigenvalue."""
+    import numpy as np
+    from pyscf_tpu.fci import direct_spin1
+    rng = np.random.RandomState(3)
+    norb, nelec = 4, (2, 2)
+    h1 = rng.rand(norb, norb)
+    h1 = h1 + h1.T
+    eri = rng.rand(norb, norb, norb, norb)
+    eri = eri + eri.transpose(1, 0, 2, 3)
+    eri = eri + eri.transpose(0, 1, 3, 2)
+    eri = eri + eri.transpose(2, 3, 0, 1)
+    e, c = direct_spin1.kernel(h1, eri, norb, nelec)
+    dm1, dm2 = direct_spin1.make_rdm12(c, norb, nelec)
+    e_rdm = (np.einsum('pq,pq->', h1, dm1)
+             + 0.5 * np.einsum('pqrs,pqrs->', eri, dm2))
+    assert abs(e_rdm - e) < 1e-9
