@@ -179,8 +179,7 @@ def int1e_ovlp(mol):
     return _assemble(mol, ovlp_chunk)
 
 
-def int1e_ovlp_cross(mol1, mol2):
-    """Overlap between the AO bases of two molecules: (nao1, nao2)."""
+def _cross_1e(mol1, mol2, kernel):
     out = np.zeros((mol1.nao, mol2.nao))
     for la, ga in mol1.shell_groups.items():
         Sa = cart2sph(la)
@@ -188,10 +187,20 @@ def int1e_ovlp_cross(mol1, mol2):
         for lb, gb in mol2.shell_groups.items():
             Sb = cart2sph(lb)
             jb = (gb.ao_off[:, None] + np.arange(2 * lb + 1)).ravel()
-            blk = _run_chunked(ovlp_chunk, la, lb, ga, gb)
+            blk = _run_chunked(kernel, la, lb, ga, gb)
             blk = np.einsum('mp,abpq,nq->ambn', Sa, blk, Sb, optimize=True)
             out[np.ix_(ia, jb)] = blk.reshape(ia.size, jb.size)
-    return jnp.asarray(out)
+    return out
+
+
+def int1e_ovlp_cross(mol1, mol2):
+    """Overlap between the AO bases of two molecules: (nao1, nao2)."""
+    return jnp.asarray(_cross_1e(mol1, mol2, ovlp_chunk))
+
+
+def int1e_kin_cross(mol1, mol2):
+    """Kinetic energy between two AO bases (e.g. lattice-image pairs)."""
+    return jnp.asarray(_cross_1e(mol1, mol2, kin_chunk))
 
 
 def int1e_kin(mol):

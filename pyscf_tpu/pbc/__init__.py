@@ -1,0 +1,2 @@
+"""Periodic boundary conditions (analog of reference pyscf/pbc)."""
+from . import gto

@@ -1,0 +1,54 @@
+"""Gamma-point periodic Hartree-Fock (analog of reference pyscf/pbc/scf/hf.py).
+
+Reuses the molecular SCF driver; integrals come from the cell's FFTDF.
+Exchange at Gamma uses the probe-charge (Madelung) correction for the
+G=0 divergence (exxdiv='ewald', reference pbc/scf/khf.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ...scf.hf import RHF as MolRHF
+from ..df.fft import FFTDF
+
+
+def madelung(cell):
+    """Madelung constant of a probe charge in the neutralizing lattice."""
+    c2 = cell.copy()
+    # single unit charge at origin
+    c2.build()
+    c2.atom_charges_eff = np.zeros_like(c2.atom_charges_eff)
+    c2.atom_charges_eff[0] = 1.0
+    saved = c2.coords.copy()
+    c2.coords[:] = 0.0
+    e = c2.ewald()
+    c2.coords[:] = saved
+    return -2.0 * e
+
+
+class RHF(MolRHF):
+    exxdiv = 'ewald'
+
+    def __init__(self, cell, exxdiv='ewald'):
+        super().__init__(cell)
+        self.cell = cell
+        self.exxdiv = exxdiv
+        self.with_df = FFTDF(cell)
+
+    def get_ovlp(self, mol=None):
+        return self.with_df.get_ovlp()
+
+    def get_hcore(self, mol=None):
+        return self.with_df.get_hcore()
+
+    def get_jk(self, mol=None, dm=None, hermi=1, with_j=True, with_k=True,
+               omega=None):
+        vj, vk = self.with_df.get_jk(dm, with_j=with_j, with_k=with_k)
+        if with_k and self.exxdiv == 'ewald':
+            # probe-charge correction: K += madelung * S dm S
+            s = np.asarray(self.get_ovlp())
+            mad = madelung(self.cell)
+            vk = vk + mad * jnp.asarray(s @ np.asarray(dm) @ s)
+        return vj, vk
+
+    def energy_nuc(self):
+        return self.cell.ewald()
