@@ -1,0 +1,72 @@
+"""Nuclear Hessians and thermochemistry (analog of reference pyscf/hessian).
+
+Round-1 path: semi-numerical Hessian (central differences of the analytic
+gradient) + harmonic frequency analysis + ideal-gas thermochemistry
+(reference hessian/thermo.py:40 harmonic_analysis, :136 thermo).
+"""
+import numpy as np
+
+from ..data.elements import MASSES
+from ..lib.parameters import AMU2AU, HARTREE2WAVENUMBER
+
+
+def hessian_fd(grad_factory, mol, step=1e-3):
+    """(natm,3,natm,3) Hessian from central differences of gradients.
+
+    grad_factory(mol) -> (natm, 3) gradient array (runs SCF internally).
+    """
+    natm = mol.natm
+    h = np.zeros((natm, 3, natm, 3))
+    coords0 = np.asarray(mol.coords).copy()
+    for A in range(natm):
+        for x in range(3):
+            gp, gm = None, None
+            for s, sign in ((step, 1), (-step, -1)):
+                c = coords0.copy()
+                c[A, x] += s
+                m2 = mol.copy()
+                m2.set_geom_(c)
+                g = np.asarray(grad_factory(m2))
+                if sign > 0:
+                    gp = g
+                else:
+                    gm = g
+            h[A, x] = (gp - gm) / (2 * step)
+    # symmetrize
+    h = 0.5 * (h + h.transpose(2, 3, 0, 1))
+    return h
+
+
+def harmonic_analysis(mol, hess):
+    """Frequencies (cm^-1) and normal modes from a Cartesian Hessian."""
+    natm = mol.natm
+    masses = np.array([MASSES[z] for z in mol.charges]) * AMU2AU
+    invsqrt = 1.0 / np.sqrt(np.repeat(masses, 3))
+    H = hess.reshape(natm * 3, natm * 3)
+    Hmw = H * invsqrt[:, None] * invsqrt[None, :]
+    w2, modes = np.linalg.eigh(Hmw)
+    freq_au = np.sign(w2) * np.sqrt(np.abs(w2))
+    freq_cm = freq_au * HARTREE2WAVENUMBER
+    return {'freq_wavenumber': freq_cm, 'norm_mode': modes, 'freq_au': freq_au}
+
+
+def thermo(mol, freq_au, e_tot, temperature=298.15, pressure=101325.0):
+    """Ideal-gas RRHO thermochemistry (reference hessian/thermo.py:136)."""
+    from ..lib.parameters import BOLTZMANN_AU
+    kT = BOLTZMANN_AU * temperature
+    # vibrational: drop translations/rotations (6 smallest |freq|)
+    natm = mol.natm
+    nfree = 3 * natm - (5 if natm == 2 else 6 if natm > 2 else 0)
+    freqs = np.sort(np.abs(freq_au))[-nfree:] if nfree > 0 else np.array([])
+    freqs = freqs[freqs > 1e-8]
+    zpe = 0.5 * freqs.sum()
+    e_vib = zpe + np.sum(freqs / (np.exp(freqs / kT) - 1.0))
+    s_vib = np.sum(freqs / kT / (np.exp(freqs / kT) - 1.0)
+                   - np.log(1.0 - np.exp(-freqs / kT)))
+    results = {
+        'ZPE': zpe,
+        'E_vib': e_vib,
+        'S_vib(k)': s_vib,
+        'E_tot+ZPE': float(e_tot) + zpe,
+    }
+    return results

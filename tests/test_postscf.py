@@ -110,3 +110,40 @@ def test_fci_rdm_energy_consistency():
     e_rdm = (np.einsum('pq,pq->', h1, dm1)
              + 0.5 * np.einsum('pqrs,pqrs->', eri, dm2))
     assert abs(e_rdm - e) < 1e-9
+
+
+def test_cisd_between_hf_and_fci():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    from pyscf_tpu.ci import CISD
+    ec, _ = CISD(mf).kernel()
+    from pyscf_tpu.fci import FCI
+    efci, _ = FCI(mf).kernel()
+    assert efci - mf.e_tot < ec < 0
+
+
+def test_gccsd_matches_rccsd():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    from pyscf_tpu.cc.gccsd import GCCSD
+    gcc = GCCSD(mf)
+    gcc.verbose = 0
+    gcc.conv_tol = 1e-10
+    gcc.conv_tol_normt = 1e-8
+    eg, _, _ = gcc.kernel()
+    rcc = pt.cc.CCSD(mf)
+    rcc.verbose = 0
+    rcc.conv_tol = 1e-10
+    rcc.conv_tol_normt = 1e-8
+    er, _, _ = rcc.kernel()
+    assert abs(eg - er) < 1e-7

@@ -89,3 +89,28 @@ def test_df_rhf():
     # DF error vs exact RHF should be ~2e-5 with cc-pvdz-jkfit
     assert abs(e - (-76.026765673119627)) < 1e-3
     assert abs(e - (-76.026765673119627)) > 1e-8
+
+
+def test_ump2_o2():
+    mol = pt.M(atom='O 0 0 0; O 0 0 1.21', basis='sto-3g', spin=2, verbose=0)
+    mf = pt.scf.UHF(mol)
+    mf.verbose = 0
+    mf.conv_tol = 1e-11
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    from pyscf_tpu.mp.ump2 import UMP2
+    e, _ = UMP2(mf).kernel()
+    assert -0.1 < e < -0.01
+
+
+def test_smearing():
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.9', basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.init_guess = 'hcore'
+    from pyscf_tpu.scf.addons import smearing_
+    smearing_(mf, sigma=0.1)
+    mf.kernel()
+    occ = np.asarray(mf.mo_occ)
+    assert abs(occ.sum() - 2.0) < 1e-8
+    assert occ[1] > 1e-4  # fractional occupation appeared
