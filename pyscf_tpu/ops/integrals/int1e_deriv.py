@@ -185,3 +185,79 @@ def int1e_ipnuc(mol):
 def int1e_iprinv(mol, center):
     return _assemble_deriv(mol, iprinv_chunk,
                            extra=(jnp.asarray(center),))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def pnucp_chunk(la, lb, a, b, A, B, w, atom_coords, atom_charges):
+    """sum_d <d_d a| V_nuc |d_d b> (the spin-free pVp integral kernel)."""
+    p = a + b
+    P = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    L = la + lb + 2
+    E = {}
+    for da in (1, -1):
+        for db in (1, -1):
+            if la + da < 0 or lb + db < 0:
+                continue
+            E[(da, db)] = e3d(la + da, lb + db, a, b, A, B)
+    PC = P[:, None, :] - atom_coords
+    R = hermite_R(L, p[:, None], PC)
+    RZ = jnp.einsum('mct,c->mt', R, atom_charges)
+    pref = w * (2.0 * jnp.pi / p)
+
+    def vblock(da, db, ca_idx, cb_idx):
+        e3 = E[(da, db)]
+        nt = e3.shape[-1]
+        return -jnp.einsum('m,mt,mt->m', pref,
+                           e3[:, ca_idx, cb_idx, :], RZ[:, :nt])
+
+    carts_a = cart_components(la)
+    carts_b = cart_components(lb)
+    idx = {}
+    for da in (1, -1):
+        if la + da >= 0:
+            idx[('a', da)] = {c: i for i, c in
+                              enumerate(cart_components(la + da))}
+    for db in (1, -1):
+        if lb + db >= 0:
+            idx[('b', db)] = {c: i for i, c in
+                              enumerate(cart_components(lb + db))}
+
+    rows = []
+    for ca in carts_a:
+        cols = []
+        for cb in carts_b:
+            acc = 0.0
+            for d in range(3):
+                terms = []
+                # (2a up_a - i dn_a)(2b up_b - j dn_b)
+                ua = tuple(ca[k] + (1 if k == d else 0) for k in range(3))
+                ub = tuple(cb[k] + (1 if k == d else 0) for k in range(3))
+                t = 4.0 * a * b * vblock(1, 1, idx[('a', 1)][ua],
+                                         idx[('b', 1)][ub])
+                if cb[d] >= 1:
+                    db_ = tuple(cb[k] - (1 if k == d else 0) for k in range(3))
+                    t = t - 2.0 * a * cb[d] * vblock(
+                        1, -1, idx[('a', 1)][ua], idx[('b', -1)][db_])
+                if ca[d] >= 1:
+                    da_ = tuple(ca[k] - (1 if k == d else 0) for k in range(3))
+                    t = t - 2.0 * b * ca[d] * vblock(
+                        -1, 1, idx[('a', -1)][da_], idx[('b', 1)][ub])
+                    if cb[d] >= 1:
+                        t = t + ca[d] * cb[d] * vblock(
+                            -1, -1, idx[('a', -1)][da_], idx[('b', -1)][db_])
+                acc = acc + t
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
+def int1e_pnucp(mol):
+    """(nao, nao) spin-free pVp matrix."""
+    from .int1e import _assemble, ATOM_PAD
+    natm_pad = -(-mol.natm // ATOM_PAD) * ATOM_PAD
+    coords = np.zeros((natm_pad, 3))
+    coords[:mol.natm] = mol.coords
+    z = np.zeros(natm_pad)
+    z[:mol.natm] = mol.charges
+    return _assemble(mol, pnucp_chunk,
+                     extra=(jnp.asarray(coords), jnp.asarray(z)))

@@ -114,3 +114,29 @@ def test_smearing():
     occ = np.asarray(mf.mo_occ)
     assert abs(occ.sum() - 2.0) < 1e-8
     assert occ[1] > 1e-4  # fractional occupation appeared
+
+
+def test_qmmm():
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.init_guess = 'hcore'
+    from pyscf_tpu.qmmm import add_mm_charges
+    add_mm_charges(mf, [[0, 0, 5.0]], [0.5])
+    e = mf.kernel()
+    assert mf.converged
+    assert abs(e - (-74.95925954)) < 1e-6
+
+
+def test_sfx2c1e():
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.init_guess = 'hcore'
+    mf.conv_tol = 1e-11
+    from pyscf_tpu.x2c import sfx2c1e
+    sfx2c1e(mf)
+    e = mf.kernel()
+    assert mf.converged
+    # scalar-relativistic shift for O: small and negative
+    assert -0.08 < e - (-74.96306313) < -0.02
