@@ -18,19 +18,20 @@ class DIIS:
 
     @staticmethod
     def _flatten(tree):
+        # host-side: avoids one device compile per subspace size
         if isinstance(tree, (list, tuple)):
-            return jnp.concatenate([jnp.ravel(t) for t in tree])
-        return jnp.ravel(tree)
+            return np.concatenate([np.asarray(t).ravel() for t in tree])
+        return np.asarray(tree).ravel()
 
     def _unflatten(self, vec, template):
         if isinstance(template, (list, tuple)):
             out, off = [], 0
             for t in template:
                 n = t.size
-                out.append(vec[off:off + n].reshape(t.shape))
+                out.append(jnp.asarray(vec[off:off + n].reshape(t.shape)))
                 off += n
             return type(template)(out)
-        return vec.reshape(template.shape)
+        return jnp.asarray(vec.reshape(template.shape))
 
     def update(self, x, err):
         """Push (x, err) and return the DIIS-extrapolated x."""
@@ -44,8 +45,8 @@ class DIIS:
         n = len(self._x)
         if n < self.min_space + 1:
             return x
-        E = jnp.stack(self._err)                      # (n, m)
-        B = np.asarray(E @ E.T)                       # small, host-side solve
+        E = np.stack(self._err)                       # (n, m)
+        B = E @ E.T                                   # small, host-side
         H = np.empty((n + 1, n + 1))
         H[:n, :n] = B
         H[n, :n] = H[:n, n] = -1.0
@@ -59,6 +60,5 @@ class DIIS:
             c = (v[:, keep] * (1.0 / w[keep])) @ (v[:, keep].T @ g)
         except np.linalg.LinAlgError:
             return x
-        coeffs = jnp.asarray(c[:n])
-        xnew = jnp.stack(self._x).T @ coeffs
+        xnew = np.stack(self._x).T @ c[:n]
         return self._unflatten(xnew, x)

@@ -71,6 +71,7 @@ class PairClass:
             jnp.asarray(ga.coords),
             jnp.asarray(gb.exps), jnp.asarray(gb.coeffs),
             jnp.asarray(gb.coords))
+        p, P, E = np.asarray(p), np.asarray(P), np.asarray(E)
         self.la, self.lb = la, lb
         self.ga, self.gb = ga, gb
         self.m = p.shape[0]
@@ -80,9 +81,10 @@ class PairClass:
         nchunk = -(-self.m // chunk)
         pad = nchunk * chunk - self.m
         self.nchunk = nchunk
-        self.p = jnp.pad(p, (0, pad), constant_values=1.0).reshape(nchunk, chunk)
-        self.P = jnp.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
-        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+        self.p = np.pad(p, (0, pad), constant_values=1.0).reshape(
+            nchunk, chunk)
+        self.P = np.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = np.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
             nchunk, chunk, self.nc, self.nt)
 
     @property
@@ -156,13 +158,15 @@ def _class_pair_block(pc1, pc2):
         row = []
         for j in range(pc2.nchunk):
             blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt,
-                             pc1.p[i], pc1.P[i], pc1.E[i],
-                             pc2.p[j], pc2.P[j], pc2.E[j])
-            row.append(blk)
-        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
-        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
+                             jnp.asarray(pc1.p[i]), jnp.asarray(pc1.P[i]),
+                             jnp.asarray(pc1.E[i]),
+                             jnp.asarray(pc2.p[j]), jnp.asarray(pc2.P[j]),
+                             jnp.asarray(pc2.E[j]))
+            row.append(np.asarray(blk))
+        row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else np.concatenate([acc, row], axis=0)
     # acc: (m1_pad, nc1, m2_pad, nc2) -> trim and reduce over prim pairs
-    out = np.asarray(acc)[:pc1.m, :, :pc2.m, :]
+    out = acc[:pc1.m, :, :pc2.m, :]
     nsa, nsb = pc1.ga.nshl, pc1.gb.nshl
     nsc, nsd = pc2.ga.nshl, pc2.gb.nshl
     out = out.reshape(nsa, nsb, pc1.KK, pc1.nc, nsc, nsd, pc2.KK, pc2.nc)
@@ -230,13 +234,15 @@ class AuxClass:
         self.m = e.shape[0]
         self.nc = E.shape[1]
         self.nt = E.shape[2]
+        e, r, E = np.asarray(e), np.asarray(r), np.asarray(E)
         nchunk = -(-self.m // chunk)
         pad = nchunk * chunk - self.m
         self.nchunk = nchunk
         self.chunk = chunk
-        self.p = jnp.pad(e, (0, pad), constant_values=1.0).reshape(nchunk, chunk)
-        self.P = jnp.pad(r, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
-        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+        self.p = np.pad(e, (0, pad), constant_values=1.0).reshape(
+            nchunk, chunk)
+        self.P = np.pad(r, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = np.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
             nchunk, chunk, self.nc, self.nt)
         self.KK = g.nprim
 
@@ -250,12 +256,14 @@ def _aux_block(pc, ac):
         row = []
         for j in range(ac.nchunk):
             blk = _eri_chunk(L1, L2, pc.nt, ac.nt,
-                             pc.p[i], pc.P[i], pc.E[i],
-                             ac.p[j], ac.P[j], ac.E[j])
-            row.append(blk)
-        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
-        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
-    out = np.asarray(acc)[:pc.m, :, :ac.m, :]
+                             jnp.asarray(pc.p[i]), jnp.asarray(pc.P[i]),
+                             jnp.asarray(pc.E[i]),
+                             jnp.asarray(ac.p[j]), jnp.asarray(ac.P[j]),
+                             jnp.asarray(ac.E[j]))
+            row.append(np.asarray(blk))
+        row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else np.concatenate([acc, row], axis=0)
+    out = acc[:pc.m, :, :ac.m, :]
     nsa, nsb = pc.ga.nshl, pc.gb.nshl
     nsx = ac.g.nshl
     out = out.reshape(nsa, nsb, pc.KK, pc.nc, nsx, ac.KK, ac.nc)
@@ -301,12 +309,17 @@ def int2c2e(mol):
                 row = []
                 for j in range(ay.nchunk):
                     blk = _eri_chunk(ax.l, ay.l, ax.nt, ay.nt,
-                                     ax.p[i], ax.P[i], ax.E[i],
-                                     ay.p[j], ay.P[j], ay.E[j])
-                    row.append(blk)
-                row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
-                acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
-            blk = np.asarray(acc)[:ax.m, :, :ay.m, :]
+                                     jnp.asarray(ax.p[i]),
+                                     jnp.asarray(ax.P[i]),
+                                     jnp.asarray(ax.E[i]),
+                                     jnp.asarray(ay.p[j]),
+                                     jnp.asarray(ay.P[j]),
+                                     jnp.asarray(ay.E[j]))
+                    row.append(np.asarray(blk))
+                row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
+                acc = row if acc is None else np.concatenate([acc, row],
+                                                             axis=0)
+            blk = acc[:ax.m, :, :ay.m, :]
             nsx, nsy = ax.g.nshl, ay.g.nshl
             blk = blk.reshape(nsx, ax.KK, ax.nc, nsy, ay.KK, ay.nc)
             blk = blk.sum(axis=(1, 4))
@@ -369,6 +382,7 @@ class DerivPairClass:
             blocks.append(jnp.stack(cols, axis=1))     # (m, nca, ncb, ntL)
         E = jnp.stack(blocks, axis=1)                  # (m, 3, nca, ncb, ntL)
         E = E.reshape(m, 3 * nca * ncb, ntL)
+        p, P, E = np.asarray(p), np.asarray(P), np.asarray(E)
         self.la, self.lb = la, lb
         self.ga, self.gb = ga, gb
         self.m = m
@@ -379,10 +393,10 @@ class DerivPairClass:
         pad = nchunk * chunk - m
         self.nchunk = nchunk
         self.chunk = chunk
-        self.p = jnp.pad(p, (0, pad), constant_values=1.0).reshape(
+        self.p = np.pad(p, (0, pad), constant_values=1.0).reshape(
             nchunk, chunk)
-        self.P = jnp.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
-        self.E = jnp.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
+        self.P = np.pad(P, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
+        self.E = np.pad(E, ((0, pad), (0, 0), (0, 0))).reshape(
             nchunk, chunk, self.nc, ntL)
 
     @property
@@ -397,12 +411,14 @@ def _deriv_class_pair_block(pc1, pc2):
         row = []
         for j in range(pc2.nchunk):
             blk = _eri_chunk(pc1.L, pc2.la + pc2.lb, pc1.nt, pc2.nt,
-                             pc1.p[i], pc1.P[i], pc1.E[i],
-                             pc2.p[j], pc2.P[j], pc2.E[j])
-            row.append(blk)
-        row = jnp.concatenate(row, axis=2) if len(row) > 1 else row[0]
-        acc = row if acc is None else jnp.concatenate([acc, row], axis=0)
-    out = np.asarray(acc)[:pc1.m, :, :pc2.m, :]
+                             jnp.asarray(pc1.p[i]), jnp.asarray(pc1.P[i]),
+                             jnp.asarray(pc1.E[i]),
+                             jnp.asarray(pc2.p[j]), jnp.asarray(pc2.P[j]),
+                             jnp.asarray(pc2.E[j]))
+            row.append(np.asarray(blk))
+        row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
+        acc = row if acc is None else np.concatenate([acc, row], axis=0)
+    out = acc[:pc1.m, :, :pc2.m, :]
     nsa, nsb = pc1.ga.nshl, pc1.gb.nshl
     nsc, nsd = pc2.ga.nshl, pc2.gb.nshl
     out = out.reshape(nsa, nsb, pc1.KK, pc1.nc, nsc, nsd, pc2.KK, pc2.nc)
