@@ -1,0 +1,2 @@
+"""Implicit solvation (analog of reference pyscf/solvent)."""
+from .pcm import PCM, pcm_for_scf, cosmo_for_scf

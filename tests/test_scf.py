@@ -140,3 +140,20 @@ def test_sfx2c1e():
     assert mf.converged
     # scalar-relativistic shift for O: small and negative
     assert -0.08 < e - (-74.96306313) < -0.02
+
+
+def test_pcm_solvation():
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.init_guess = 'hcore'
+    e0 = mf.kernel()
+    from pyscf_tpu.solvent import pcm_for_scf
+    mf2 = mol.RHF()
+    mf2.verbose = 0
+    mf2.init_guess = 'hcore'
+    pcm_for_scf(mf2, eps=78.3553, n_ang=50)
+    e1 = mf2.kernel()
+    assert mf2.converged
+    dg = e1 - e0
+    assert -0.03 < dg < -0.001   # solvation stabilizes polar H2O
