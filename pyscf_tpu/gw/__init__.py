@@ -1,0 +1,2 @@
+"""GW / RPA methods (analog of reference pyscf/gw)."""
+from .rpa import RPA, dRPA

@@ -171,7 +171,32 @@ class SCF:
         if key == 'atom':
             from . import init_guess
             return jnp.asarray(init_guess.init_guess_by_atom(mol))
+        if key == 'chkfile' or key == 'chk':
+            return self.init_guess_by_chkfile()
         raise NotImplementedError(f'init_guess {key}')
+
+    def init_guess_by_chkfile(self, chkfile=None):
+        """Resume from an HDF5 checkpoint (reference scf/hf.py:679)."""
+        from ..lib import chkfile as chk
+        data = chk.load_scf(chkfile or self.chkfile)
+        mo_coeff = jnp.asarray(data['mo_coeff'])
+        mo_occ = jnp.asarray(data['mo_occ'])
+        return self.make_rdm1(mo_coeff, mo_occ)
+
+    def update_from_chk(self, chkfile=None):
+        from ..lib import chkfile as chk
+        data = chk.load_scf(chkfile or self.chkfile)
+        self.e_tot = float(data['e_tot'])
+        self.mo_energy = jnp.asarray(data['mo_energy'])
+        self.mo_coeff = jnp.asarray(data['mo_coeff'])
+        self.mo_occ = jnp.asarray(data['mo_occ'])
+        return self
+
+    def dump_chk(self):
+        if self.chkfile:
+            from ..lib import chkfile as chk
+            chk.dump_scf(self.mol, self.chkfile, self.e_tot or 0.0,
+                         self.mo_energy, self.mo_coeff, self.mo_occ)
 
     def init_guess_by_1e(self, mol=None):
         mol = mol or self.mol
@@ -227,6 +252,7 @@ class SCF:
         self.mo_energy = mo_energy
         self.mo_coeff = mo_coeff
         self.mo_occ = mo_occ
+        self.dump_chk()
         if self.verbose >= param.VERBOSE_NOTE:
             state = 'converged' if scf_conv else 'NOT converged'
             print(f'SCF {state}. E= {self.e_tot:.14f} '

@@ -147,3 +147,18 @@ def test_gccsd_matches_rccsd():
     rcc.conv_tol_normt = 1e-8
     er, _, _ = rcc.kernel()
     assert abs(eg - er) < 1e-7
+
+
+@pytest.mark.slow
+def test_rpa():
+    # reference gw/rpa.py self-check golden
+    mol = pt.M(atom='O 0 0 0; H 0 -0.7571 0.5861; H 0 0.7571 0.5861',
+               basis='def2-svp', verbose=0)
+    mf = pt.dft.RKS(mol, xc='pbe')
+    mf.verbose = 0
+    mf.conv_tol = 1e-10
+    mf.kernel()
+    from pyscf_tpu.gw import RPA
+    rpa = RPA(mf, auxbasis='def2-svp-ri')
+    ec = rpa.kernel()
+    assert abs(ec - (-0.307830040357800)) < 1e-6

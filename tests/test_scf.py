@@ -157,3 +157,19 @@ def test_pcm_solvation():
     assert mf2.converged
     dg = e1 - e0
     assert -0.03 < dg < -0.001   # solvation stabilizes polar H2O
+
+
+def test_chkfile_resume(tmp_path):
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g', verbose=0)
+    chk = str(tmp_path / 'h2.h5')
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.init_guess = 'hcore'
+    mf.chkfile = chk
+    e1 = mf.kernel()
+    mf2 = mol.RHF()
+    mf2.verbose = 0
+    mf2.chkfile = chk
+    mf2.init_guess = 'chkfile'
+    e2 = mf2.kernel()
+    assert abs(e1 - e2) < 1e-10
