@@ -173,3 +173,21 @@ def test_chkfile_resume(tmp_path):
     mf2.init_guess = 'chkfile'
     e2 = mf2.kernel()
     assert abs(e1 - e2) < 1e-10
+
+
+def test_stability_and_newton():
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.verbose = 0
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    from pyscf_tpu.scf.stability import rhf_stability
+    r = rhf_stability(mf)
+    assert r['internal_stable'] and r['external_stable']
+    from pyscf_tpu.soscf import newton
+    mf2 = mol.RHF()
+    mf2.verbose = 0
+    newton(mf2)
+    e = mf2.kernel()
+    assert mf2.converged
+    assert abs(e - (-74.96306312971071)) < 1e-8
