@@ -13,16 +13,14 @@ from ..df.fft import FFTDF
 
 def madelung(cell):
     """Madelung constant of a probe charge in the neutralizing lattice."""
-    c2 = cell.copy()
-    # single unit charge at origin
-    c2.build()
-    c2.atom_charges_eff = np.zeros_like(c2.atom_charges_eff)
-    c2.atom_charges_eff[0] = 1.0
-    saved = c2.coords.copy()
-    c2.coords[:] = 0.0
-    e = c2.ewald()
-    c2.coords[:] = saved
-    return -2.0 * e
+    from ..gto.cell import Cell
+    probe = Cell(atom=[('H', (0.0, 0.0, 0.0))],
+                 a=cell.lattice_vectors_, unit='bohr',
+                 basis={'H': [[0, [1.0, 1.0]]]}, verbose=0,
+                 precision=cell.precision)
+    probe.build()
+    probe.atom_charges_eff = np.array([1.0])
+    return -2.0 * probe.ewald()
 
 
 class RHF(MolRHF):

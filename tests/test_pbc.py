@@ -52,3 +52,23 @@ def test_lattice_sum_overlap_normalized():
     assert abs(s - s.T).max() < 1e-10
     w = np.linalg.eigvalsh(s)
     assert w.min() > 0  # positive definite
+
+
+@pytest.mark.slow
+def test_diamond_gamma_rhf():
+    from pyscf_tpu.pbc.scf import RHF
+    cell = Cell(mesh=[17] * 3, **DIAMOND).build()
+    mf = RHF(cell)
+    mf.conv_tol = 1e-7
+    mf.init_guess = 'hcore'
+    mf.verbose = 0
+    e = mf.kernel()
+    assert mf.converged
+    assert -10.2 < e < -10.0   # FFT-K + Madelung path sanity
+
+
+def test_madelung():
+    from pyscf_tpu.pbc.scf.hf import madelung
+    cell = Cell(mesh=[17] * 3, **DIAMOND).build()
+    m = madelung(cell)
+    assert 0.5 < m < 0.9
