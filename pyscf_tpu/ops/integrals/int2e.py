@@ -91,6 +91,14 @@ class PairClass:
     def KK(self):
         return self.ga.nprim * self.gb.nprim
 
+    def device_chunks(self):
+        """Upload chunk arrays to the device once; reuse across block loops."""
+        if not hasattr(self, '_dev'):
+            self._dev = [(jnp.asarray(self.p[i]), jnp.asarray(self.P[i]),
+                          jnp.asarray(self.E[i]))
+                         for i in range(self.nchunk)]
+        return self._dev
+
 
 @lru_cache(maxsize=None)
 def _phase(L):
@@ -153,15 +161,13 @@ def _class_pair_block(pc1, pc2):
     """
     L1 = pc1.la + pc1.lb
     L2 = pc2.la + pc2.lb
+    d1 = pc1.device_chunks()
+    d2 = pc2.device_chunks()
     acc = None
     for i in range(pc1.nchunk):
         row = []
         for j in range(pc2.nchunk):
-            blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt,
-                             jnp.asarray(pc1.p[i]), jnp.asarray(pc1.P[i]),
-                             jnp.asarray(pc1.E[i]),
-                             jnp.asarray(pc2.p[j]), jnp.asarray(pc2.P[j]),
-                             jnp.asarray(pc2.E[j]))
+            blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt, *d1[i], *d2[j])
             row.append(np.asarray(blk))
         row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
         acc = row if acc is None else np.concatenate([acc, row], axis=0)
@@ -246,20 +252,26 @@ class AuxClass:
             nchunk, chunk, self.nc, self.nt)
         self.KK = g.nprim
 
+    def device_chunks(self):
+        """Upload chunk arrays to the device once; reuse across block loops."""
+        if not hasattr(self, '_dev'):
+            self._dev = [(jnp.asarray(self.p[i]), jnp.asarray(self.P[i]),
+                          jnp.asarray(self.E[i]))
+                         for i in range(self.nchunk)]
+        return self._dev
+
 
 def _aux_block(pc, ac):
     """(pair-class | aux-class) block -> numpy (nsa,nsb,nc_ab, nsx,nc_x)."""
     L1 = pc.la + pc.lb
     L2 = ac.l
+    d1 = pc.device_chunks()
+    d2 = ac.device_chunks()
     acc = None
     for i in range(pc.nchunk):
         row = []
         for j in range(ac.nchunk):
-            blk = _eri_chunk(L1, L2, pc.nt, ac.nt,
-                             jnp.asarray(pc.p[i]), jnp.asarray(pc.P[i]),
-                             jnp.asarray(pc.E[i]),
-                             jnp.asarray(ac.p[j]), jnp.asarray(ac.P[j]),
-                             jnp.asarray(ac.E[j]))
+            blk = _eri_chunk(L1, L2, pc.nt, ac.nt, *d1[i], *d2[j])
             row.append(np.asarray(blk))
         row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
         acc = row if acc is None else np.concatenate([acc, row], axis=0)
@@ -304,17 +316,14 @@ def int2c2e(mol):
         ix = ax.g.ao_off[:, None] + np.arange(2 * lx + 1)
         for ly in sorted(mol.shell_groups.keys()):
             ay = AuxClass(mol, ly)
+            d1 = ax.device_chunks()
+            d2 = ay.device_chunks()
             acc = None
             for i in range(ax.nchunk):
                 row = []
                 for j in range(ay.nchunk):
                     blk = _eri_chunk(ax.l, ay.l, ax.nt, ay.nt,
-                                     jnp.asarray(ax.p[i]),
-                                     jnp.asarray(ax.P[i]),
-                                     jnp.asarray(ax.E[i]),
-                                     jnp.asarray(ay.p[j]),
-                                     jnp.asarray(ay.P[j]),
-                                     jnp.asarray(ay.E[j]))
+                                     *d1[i], *d2[j])
                     row.append(np.asarray(blk))
                 row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
                 acc = row if acc is None else np.concatenate([acc, row],
@@ -403,6 +412,14 @@ class DerivPairClass:
     def KK(self):
         return self.ga.nprim * self.gb.nprim
 
+    def device_chunks(self):
+        """Upload chunk arrays to the device once; reuse across block loops."""
+        if not hasattr(self, '_dev'):
+            self._dev = [(jnp.asarray(self.p[i]), jnp.asarray(self.P[i]),
+                          jnp.asarray(self.E[i]))
+                         for i in range(self.nchunk)]
+        return self._dev
+
 
 def _deriv_class_pair_block(pc1, pc2):
     """(d(ab)|cd) block -> numpy (nsa,nsb,3*nc_ab, nsc,nsd,nc_cd)."""
@@ -411,10 +428,7 @@ def _deriv_class_pair_block(pc1, pc2):
         row = []
         for j in range(pc2.nchunk):
             blk = _eri_chunk(pc1.L, pc2.la + pc2.lb, pc1.nt, pc2.nt,
-                             jnp.asarray(pc1.p[i]), jnp.asarray(pc1.P[i]),
-                             jnp.asarray(pc1.E[i]),
-                             jnp.asarray(pc2.p[j]), jnp.asarray(pc2.P[j]),
-                             jnp.asarray(pc2.E[j]))
+                             *pc1.device_chunks()[i], *pc2.device_chunks()[j])
             row.append(np.asarray(blk))
         row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
         acc = row if acc is None else np.concatenate([acc, row], axis=0)
