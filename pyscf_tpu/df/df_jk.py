@@ -35,19 +35,27 @@ def _bmo(B, ca, cb):
     return jnp.einsum('pij,ia,jb->pab', B, ca, cb)
 
 
-def get_jk(dfobj, dm, with_j=True, with_k=True):
+def get_jk(dfobj, dm, with_j=True, with_k=True, mo_coeff_occ=None):
+    """J/K from the DF factor. If mo_coeff_occ (already scaled by
+    sqrt(occupation)) is given, K uses the O(naux nao^2 nocc) occupied-
+    orbital path instead of the O(naux nao^3) density path."""
     B = dfobj.cderi
     dm = jnp.asarray(dm)
     single = dm.ndim == 2
     dms = dm[None] if single else dm
+    cos = None
+    if mo_coeff_occ is not None:
+        cos = [mo_coeff_occ] if single else list(mo_coeff_occ)
     vjs, vks = [], []
-    for d in dms:
-        if with_j and with_k:
-            vj, vk = _jk_from_dm(B, d)
-        elif with_j:
-            vj, vk = _j_from_dm(B, d), None
+    for i, d in enumerate(dms):
+        vj = _j_from_dm(B, d) if with_j else None
+        if with_k:
+            if cos is not None:
+                vk = _k_from_mo(B, cos[i])
+            else:
+                vk = _jk_from_dm(B, d)[1]
         else:
-            vj, vk = None, _jk_from_dm(B, d)[1]
+            vk = None
         vjs.append(vj)
         vks.append(vk)
     if single:

@@ -32,8 +32,8 @@ from .cart2sph import cart2sph
 from .hermite import (e3d, cart_components, tuv_components, tuv_index,
                       n_tuv, hermite_R)
 
-PAIR_CHUNK = 512      # primitive-pair chunk size (bra side)
-AUX_CHUNK = 1024      # aux/ket chunk
+PAIR_CHUNK = 128      # primitive-pair chunk size (bra side)
+AUX_CHUNK = 256       # aux/ket chunk
 
 
 # ---------------------------------------------------------------------------

@@ -104,7 +104,12 @@ class SCF:
                omega=None):
         mol = mol or self.mol
         if self.with_df is not None:
-            return self.with_df.get_jk(dm, with_j=with_j, with_k=with_k)
+            from ..df.df_jk import get_jk as df_get_jk
+            co = None
+            if getattr(self, '_co_dm', None) is dm:
+                co = self._co_scaled
+            return df_get_jk(self.with_df, dm, with_j=with_j, with_k=with_k,
+                             mo_coeff_occ=co)
         if self._eri is None:
             self._eri = mol.intor('int2e')
         dm = jnp.asarray(dm)
@@ -112,6 +117,20 @@ class SCF:
             return dot_eri_dm(self._eri, dm)
         vj, vk = zip(*[dot_eri_dm(self._eri, d) for d in dm])
         return jnp.stack(vj), jnp.stack(vk)
+
+    def _stash_occ_orbitals(self, mo_coeff, mo_occ):
+        """Cache sqrt(occ)-scaled occupied orbitals for fast DF-K."""
+        import numpy as _np
+        occ = _np.asarray(mo_occ)
+        if occ.ndim == 1:
+            sel = occ > 0
+            self._co_scaled = mo_coeff[:, sel] * jnp.sqrt(
+                jnp.asarray(occ[sel]))[None, :]
+        else:
+            self._co_scaled = [
+                mo_coeff[s][:, occ[s] > 0]
+                * jnp.sqrt(jnp.asarray(occ[s][occ[s] > 0]))[None, :]
+                for s in range(2)]
 
     def get_j(self, mol=None, dm=None, hermi=1):
         return self.get_jk(mol, dm, with_k=False)[0]
@@ -234,6 +253,8 @@ class SCF:
             mo_energy, mo_coeff = self.eig(fock, s1e)
             mo_occ = self.get_occ(mo_energy, mo_coeff)
             dm = self.make_rdm1(mo_coeff, mo_occ)
+            self._stash_occ_orbitals(mo_coeff, mo_occ)
+            self._co_dm = dm
             vhf = self.get_veff(mol, dm, dm_last, vhf)
             e_tot = self.energy_tot(dm, h1e, vhf)
 
