@@ -13,18 +13,21 @@ import jax
 # hot kernels downcast internally where validated).
 jax.config.update('jax_enable_x64', True)
 
-# Persistent compilation cache: the integral engine compiles one kernel per
-# angular-momentum class pair, reused across runs/geometries.
+# Persistent compilation cache: OPT-IN via PYSCF_TPU_JIT_CACHE=<dir>.
+# Measured on the TPU backend here, cache writes add 2-7 s per compile and
+# reads do not amortize, so it is off by default; compile latency is instead
+# managed by running one-shot integral generation on the CPU backend
+# (ops/device.py) and fusing the iterated SCF math into few programs.
 import os as _os  # noqa: E402
 
-_cache_dir = _os.environ.get('PYSCF_TPU_JIT_CACHE',
-                             _os.path.expanduser('~/.cache/pyscf_tpu_jit'))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update('jax_compilation_cache_dir', _cache_dir)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-except Exception:
-    pass
+_cache_dir = _os.environ.get('PYSCF_TPU_JIT_CACHE')
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:
+        pass
 
 from .gto.mole import M, Mole  # noqa: E402
 

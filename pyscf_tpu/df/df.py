@@ -24,18 +24,20 @@ class DF:
         return self.auxmol.nao
 
     def build(self):
+        from ..ops.device import integral_compute, to_compute_device
+        from ..ops.integrals import int2e as int2e_mod
         mol = self.mol
         self.auxmol = addons.make_auxmol(mol, self.auxbasis)
-        from ..ops.integrals import int2e as int2e_mod
-        j3c = int2e_mod.int3c2e(mol, self.auxmol)      # (nao, nao, naux)
-        j2c = int2e_mod.int2c2e(self.auxmol)           # (naux, naux)
-        L = jnp.linalg.cholesky(j2c)
-        # B[P,ij]: solve L B = j3c^T
         naux = self.auxmol.nao
         nao = mol.nao
-        rhs = j3c.reshape(nao * nao, naux).T
-        B = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        self._cderi = B.reshape(naux, nao, nao)
+        with integral_compute():
+            j3c = int2e_mod.int3c2e.__wrapped__(mol, self.auxmol)
+            j2c = int2e_mod.int2c2e.__wrapped__(self.auxmol)
+            L = jnp.linalg.cholesky(j2c)
+            # B[P,ij]: solve L B = j3c^T
+            rhs = j3c.reshape(nao * nao, naux).T
+            B = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        self._cderi = to_compute_device(B.reshape(naux, nao, nao))
         return self
 
     @property

@@ -15,7 +15,13 @@ from ..ops.eval_gto import eval_ao
 from . import xc as xc_mod
 
 BLK = 4096
-RHO_THR = 1e-12
+# TPU f64 is emulated as a double-f32 pair with f32's exponent range, so
+# densities below ~1e-10 drive rho^(-1/3)/exp intermediates out of range
+# (NaN on TPU, fine on CPU). Threshold + clamps keep every live point
+# inside the representable range on both backends; the dropped tail
+# contributes < 1e-9 Ha on standard grids.
+RHO_THR = 1e-10
+SIGMA_FLOOR = 1e-20
 
 
 def _pad_grid(coords, weights, blk=BLK):
@@ -29,8 +35,8 @@ def _pad_grid(coords, weights, blk=BLK):
 
 def _masked(rho, sigma):
     mask = rho > RHO_THR
-    rho_s = jnp.where(mask, rho, 1.0)
-    sigma_s = jnp.where(mask, sigma, 1.0)
+    rho_s = jnp.where(mask, jnp.maximum(rho, RHO_THR), 1.0)
+    sigma_s = jnp.where(mask, jnp.maximum(sigma, SIGMA_FLOOR), 1.0)
     return mask, rho_s, sigma_s
 
 
@@ -56,6 +62,16 @@ class NumInt:
 
     # -------------------------------------------------------------
     def _get_rks_fn(self, mol, xc_code):
+        key = (id(mol), xc_code, 'r-jit')
+        if key in self._cache:
+            return self._cache[key]
+        fn = jax.jit(self._get_rks_core(mol, xc_code))
+        self._cache[key] = fn
+        return fn
+
+    def _get_rks_core(self, mol, xc_code):
+        """Unjitted traceable (coords, weights, dm) -> (n, exc, vmat); for
+        fusion into larger programs (the fused SCF step)."""
         key = (id(mol), xc_code, 'r')
         if key in self._cache:
             return self._cache[key]
@@ -72,7 +88,6 @@ class NumInt:
 
         exc_grad = jax.grad(esum, argnums=(0, 1))
 
-        @jax.jit
         def run(coords, weights, dm):
             def block(carry, cw):
                 n_acc, e_acc, v_acc = carry
@@ -118,6 +133,15 @@ class NumInt:
 
     # -------------------------------------------------------------
     def _get_uks_fn(self, mol, xc_code):
+        key = (id(mol), xc_code, 'u-jit')
+        if key in self._cache:
+            return self._cache[key]
+        fn = jax.jit(self._get_uks_core(mol, xc_code))
+        self._cache[key] = fn
+        return fn
+
+    def _get_uks_core(self, mol, xc_code):
+        """Unjitted traceable (coords, weights, dm) -> (n, exc, vmat)."""
         key = (id(mol), xc_code, 'u')
         if key in self._cache:
             return self._cache[key]
@@ -128,7 +152,6 @@ class NumInt:
 
         exc_grad = jax.grad(esum, argnums=(0, 1, 2, 3, 4))
 
-        @jax.jit
         def run(coords, weights, dm):
             def block(carry, cw):
                 n_acc, e_acc, v_acc = carry
@@ -147,9 +170,11 @@ class NumInt:
                 sab = jnp.einsum('db,db->b', grhos[0], grhos[1])
                 sbb = jnp.einsum('db,db->b', grhos[1], grhos[1])
                 mask = (ra + rb) > RHO_THR
-                sf = lambda x: jnp.where(mask, x, 1.0)
-                ras, rbs = sf(ra), sf(rb)
-                saas, sabs, sbbs = sf(saa), sf(sab), sf(sbb)
+                sf = lambda x, lo: jnp.where(mask, jnp.maximum(x, lo), 1.0)
+                ras, rbs = sf(ra, 0.5 * RHO_THR), sf(rb, 0.5 * RHO_THR)
+                saas = sf(saa, SIGMA_FLOOR)
+                sabs = sf(sab, -jnp.inf)
+                sbbs = sf(sbb, SIGMA_FLOOR)
                 e_blk = jnp.sum(jnp.where(
                     mask, w * xc.exc_density(ras, rbs, saas, sabs, sbbs), 0.0))
                 vra, vrb, vsaa, vsab, vsbb = exc_grad(ras, rbs, saas, sabs,

@@ -10,6 +10,57 @@ class UKS(KohnShamDFT, UHF):
         UHF.__init__(self, mol)
         self._init_ks(xc)
 
+    def _fused_veff(self):
+        from .numint import _pad_grid
+        if self.grids.coords is None:
+            self.grids.build()
+        coords, weights = _pad_grid(self.grids.coords, self.grids.weights)
+        core = self._numint._get_uks_core(self.mol, self.xc)
+        hyb = float(self._numint.hybrid_coeff(self.xc))
+        data = {'coords': coords, 'weights': weights}
+
+        def jk_terms(data, dma, dmb, coa, cob):
+            if 'B' in data:
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dma + dmb)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                if hyb == 0.0:
+                    return vj, None, None
+                Boa = jnp.einsum('pij,jo->pio', B, coa)
+                Bob = jnp.einsum('pij,jo->pio', B, cob)
+                vka = jnp.einsum('pio,pjo->ij', Boa, Boa)
+                vkb = jnp.einsum('pio,pjo->ij', Bob, Bob)
+                return vj, vka, vkb
+            eri = data['eri']
+            vj = jnp.einsum('ijkl,lk->ij', eri, dma + dmb)
+            if hyb == 0.0:
+                return vj, None, None
+            vka = jnp.einsum('ilkj,lk->ij', eri, dma)
+            vkb = jnp.einsum('ilkj,lk->ij', eri, dmb)
+            return vj, vka, vkb
+
+        def veff_fn(data, dma, dmb, coa, cob):
+            _, exc, vxc = core(data['coords'], data['weights'],
+                               jnp.stack([dma, dmb]))
+            vj, vka, vkb = jk_terms(data, dma, dmb, coa, cob)
+            e2 = 0.5 * jnp.sum(vj * (dma + dmb)) + exc
+            vhf = vxc + vj[None]
+            if hyb != 0.0:
+                vhf = vhf - hyb * jnp.stack([vka, vkb])
+                e2 = e2 - 0.5 * hyb * (jnp.sum(vka * dma)
+                                       + jnp.sum(vkb * dmb))
+            return vhf, e2
+
+        if self.with_df is not None:
+            data['B'] = self.with_df.cderi
+            key = ('uks-df', self.xc, hyb, data['B'].shape, coords.shape)
+        else:
+            if self._eri is None:
+                self._eri = self.mol.intor('int2e')
+            data['eri'] = self._eri
+            key = ('uks-eri', self.xc, hyb, data['eri'].shape, coords.shape)
+        return key, veff_fn, data
+
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         mol = mol or self.mol
         dm = jnp.asarray(dm)

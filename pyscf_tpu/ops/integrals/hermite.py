@@ -154,6 +154,42 @@ def e3d(la, lb, exps_a, exps_b, ra, rb):
     return out
 
 
+@lru_cache(maxsize=None)
+def _r_step_tables(L, n):
+    """Gather tables for one downward-n step of the R recursion.
+
+    For each entry tuv of T_n (orders <= L-n), with d = first nonzero
+    direction:  T_n[tuv] = (c_d-1) T_{n+1}[tuv-2e_d] + X_d T_{n+1}[tuv-e_d].
+    Returns (idx2, coef, idx1, dsel): T_n = coef*T[idx2] + X[dsel]*T[idx1],
+    entry 0 overwritten with (-2p)^n F_n afterwards. Two gathers + one
+    fused multiply-add per step -> O(L) graph nodes and O(batch*ntuv)
+    flops (the recursion has only 2 terms per entry; a dense-matrix form
+    wastes ~ntuv/2 x the work)."""
+    import numpy as np
+    prev = tuv_components(L - n - 1)
+    nxt = tuv_components(L - n)
+    iprev = {c: i for i, c in enumerate(prev)}
+    m = len(nxt)
+    idx1 = np.zeros(m, dtype=np.int32)
+    idx2 = np.zeros(m, dtype=np.int32)
+    coef = np.zeros(m)
+    dsel = np.zeros(m, dtype=np.int32)
+    for j, c in enumerate(nxt):
+        if c == (0, 0, 0):
+            continue
+        d = 0 if c[0] > 0 else (1 if c[1] > 0 else 2)
+        dsel[j] = d
+        e1 = list(c)
+        e1[d] -= 1
+        idx1[j] = iprev[tuple(e1)]
+        if c[d] >= 2:
+            e2 = list(c)
+            e2[d] -= 2
+            idx2[j] = iprev[tuple(e2)]
+            coef[j] = c[d] - 1
+    return idx2, coef, idx1, dsel
+
+
 def hermite_R(L, p, rpq):
     """Hermite Coulomb integral table R_{tuv}(p, PQ) for t+u+v <= L.
 
@@ -163,26 +199,19 @@ def hermite_R(L, p, rpq):
     """
     t2 = p * jnp.sum(rpq * rpq, axis=-1)
     F = boys(L, t2)                      # (L+1, ...)
-    X, Y, Z = rpq[..., 0], rpq[..., 1], rpq[..., 2]
+    m2p = -2.0 * p
 
-    cache = {}
-
-    def R(n, t, u, v):
-        if t < 0 or u < 0 or v < 0:
-            return 0.0
-        key = (n, t, u, v)
-        if key in cache:
-            return cache[key]
-        if t == u == v == 0:
-            val = (-2.0 * p) ** n * F[n]
-        elif t > 0:
-            val = (t - 1) * R(n + 1, t - 2, u, v) + X * R(n + 1, t - 1, u, v)
-        elif u > 0:
-            val = (u - 1) * R(n + 1, t, u - 2, v) + Y * R(n + 1, t, u - 1, v)
-        else:
-            val = (v - 1) * R(n + 1, t, u, v - 2) + Z * R(n + 1, t, u, v - 1)
-        cache[key] = val
-        return val
-
-    cols = [R(0, t, u, v) for (t, u, v) in tuv_components(L)]
-    return jnp.stack(cols, axis=-1)
+    pw = jnp.ones_like(p)
+    pows = []                            # (-2p)^n for n = 0..L
+    for n in range(L + 1):
+        pows.append(pw)
+        if n < L:
+            pw = pw * m2p
+    T = (pows[L] * F[L])[..., None]      # T_L: single entry R^{(L)}_000
+    for n in range(L - 1, -1, -1):
+        idx2, coef, idx1, dsel = _r_step_tables(L, n)
+        Xd = jnp.take(rpq, jnp.asarray(dsel), axis=-1)   # (..., nt_next)
+        Tn = jnp.asarray(coef) * T[..., jnp.asarray(idx2)] \
+            + Xd * T[..., jnp.asarray(idx1)]
+        T = Tn.at[..., 0].set(pows[n] * F[n])
+    return T

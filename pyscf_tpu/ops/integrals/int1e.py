@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..device import on_integral_device
 from .cart2sph import cart2sph
 from .hermite import e1d_dense, e3d, cart_components, hermite_R
 
@@ -175,6 +176,7 @@ def _assemble(mol, kernel, ncomp=0, extra=()):
     return jnp.asarray(out)
 
 
+@on_integral_device
 def int1e_ovlp(mol):
     return _assemble(mol, ovlp_chunk)
 
@@ -193,16 +195,19 @@ def _cross_1e(mol1, mol2, kernel):
     return out
 
 
+@on_integral_device
 def int1e_ovlp_cross(mol1, mol2):
     """Overlap between the AO bases of two molecules: (nao1, nao2)."""
     return jnp.asarray(_cross_1e(mol1, mol2, ovlp_chunk))
 
 
+@on_integral_device
 def int1e_kin_cross(mol1, mol2):
     """Kinetic energy between two AO bases (e.g. lattice-image pairs)."""
     return jnp.asarray(_cross_1e(mol1, mol2, kin_chunk))
 
 
+@on_integral_device
 def int1e_kin(mol):
     return _assemble(mol, kin_chunk)
 
@@ -210,6 +215,7 @@ def int1e_kin(mol):
 ATOM_PAD = 8
 
 
+@on_integral_device
 def int1e_nuc(mol):
     natm_pad = -(-mol.natm // ATOM_PAD) * ATOM_PAD
     coords = np.zeros((natm_pad, 3))
@@ -220,5 +226,6 @@ def int1e_nuc(mol):
                      extra=(jnp.asarray(coords), jnp.asarray(z)))
 
 
+@on_integral_device
 def int1e_r(mol):
     return _assemble(mol, r_chunk, ncomp=3)

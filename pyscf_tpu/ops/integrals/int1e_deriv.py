@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..device import on_integral_device
 from .cart2sph import cart2sph
 from .hermite import e1d_dense, e3d, cart_components, tuv_components, \
     tuv_index, hermite_R
@@ -163,14 +164,17 @@ def _assemble_deriv(mol, kernel, extra=()):
     return _assemble(mol, kernel, ncomp=3, extra=extra)
 
 
+@on_integral_device
 def int1e_ipovlp(mol):
     return _assemble_deriv(mol, ipovlp_chunk)
 
 
+@on_integral_device
 def int1e_ipkin(mol):
     return _assemble_deriv(mol, ipkin_chunk)
 
 
+@on_integral_device
 def int1e_ipnuc(mol):
     from .int1e import ATOM_PAD
     natm_pad = -(-mol.natm // ATOM_PAD) * ATOM_PAD
@@ -182,6 +186,7 @@ def int1e_ipnuc(mol):
                            extra=(jnp.asarray(coords), jnp.asarray(z)))
 
 
+@on_integral_device
 def int1e_iprinv(mol, center):
     return _assemble_deriv(mol, iprinv_chunk,
                            extra=(jnp.asarray(center),))
@@ -251,6 +256,7 @@ def pnucp_chunk(la, lb, a, b, A, B, w, atom_coords, atom_charges):
     return jnp.stack(rows, axis=-2)
 
 
+@on_integral_device
 def int1e_pnucp(mol):
     """(nao, nao) spin-free pVp matrix."""
     from .int1e import _assemble, ATOM_PAD

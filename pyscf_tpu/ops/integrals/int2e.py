@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..device import on_integral_device
 from .cart2sph import cart2sph
 from .hermite import (e3d, cart_components, tuv_components, tuv_index,
                       n_tuv, hermite_R)
@@ -123,9 +124,8 @@ def _comb_onehot3(L1, L2):
     return W
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _eri_chunk(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
-    """ERI between two pair-class chunks.
+def _eri_core(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
+    """ERI between two batches of Hermite pair data (traceable core).
 
     p1 (C1,), P1 (C1,3), E1 (C1, nc1, nt1); same for 2.
     Returns (C1, nc1, C2, nc2). Contraction is ordered so the largest
@@ -152,6 +152,9 @@ def _eri_chunk(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
     Q = Q.reshape(C2, R.shape[0], nc2, nt1)
     out = jnp.einsum('aps,baqs->apbq', E1, Q)         # (C1, nc1, C2, nc2)
     return out
+
+
+_eri_chunk = partial(jax.jit, static_argnums=(0, 1, 2, 3))(_eri_core)
 
 
 def _class_pair_block(pc1, pc2):
@@ -183,6 +186,7 @@ def _sph(l):
     return cart2sph(l)
 
 
+@on_integral_device
 def int2e(mol):
     """Full (nao,)*4 ERI tensor in chemists' notation, host-assembled."""
     nao = mol.nao
@@ -282,56 +286,224 @@ def _aux_block(pc, ac):
     return out.sum(axis=(2, 5))
 
 
+# ---------------------------------------------------------------------------
+# Screened shell-pair machinery: one lax.scan dispatch per class block
+# (replaces per-chunk host round trips; analog of the reference's Schwarz
+# q_cond screening in lib/vhf/optimizer.c + scf/_vhf.py:28 VHFOpt)
+# ---------------------------------------------------------------------------
+
+SCREEN_THRESH = 1e-14
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _paired_data_kernel(la, lb, ea, ca, ra, eb, cb, rb):
+    """Hermite data for an explicit LIST of shell pairs (not a full product).
+
+    ea/ca (n, Ka), eb/cb (n, Kb), ra/rb (n, 3).
+    Returns p (n*Ka*Kb,), P (n*Ka*Kb, 3), E (n*Ka*Kb, nca*ncb, ntuv)."""
+    n, Ka = ea.shape
+    Kb = eb.shape[1]
+    m = n * Ka * Kb
+    a = jnp.broadcast_to(ea[:, :, None], (n, Ka, Kb)).reshape(m)
+    b = jnp.broadcast_to(eb[:, None, :], (n, Ka, Kb)).reshape(m)
+    A = jnp.broadcast_to(ra[:, None, None, :], (n, Ka, Kb, 3)).reshape(m, 3)
+    B = jnp.broadcast_to(rb[:, None, None, :], (n, Ka, Kb, 3)).reshape(m, 3)
+    w = (ca[:, :, None] * cb[:, None, :]).reshape(m)
+    p = a + b
+    P = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    E = e3d(la, lb, a, b, A, B) * w[:, None, None, None]
+    nca, ncb, nt = E.shape[-3:]
+    return p, P, E.reshape(m, nca * ncb, nt)
+
+
+def pair_screen_bound(ga, gb):
+    """Overlap-based magnitude bound per shell pair, (nsa, nsb) numpy."""
+    ea, eb = ga.exps, gb.exps
+    ca, cb = np.abs(ga.coeffs), np.abs(gb.coeffs)
+    AB2 = ((ga.coords[:, None, :] - gb.coords[None, :, :]) ** 2).sum(-1)
+    p = ea[:, None, :, None] + eb[None, :, None, :]
+    mu = ea[:, None, :, None] * eb[None, :, None, :] / p
+    return (ca[:, None, :, None] * cb[None, :, None, :]
+            * np.exp(-mu * AB2[:, :, None, None])
+            * (np.pi / p) ** 1.5).sum(axis=(2, 3))
+
+
+class ScreenedPairs:
+    """Shell-pair-screened Hermite pair data for one (la, lb) class,
+    laid out in fixed scan chunks (chunk = whole shell pairs x KK prims)."""
+
+    def __init__(self, mol, la, lb, thresh=SCREEN_THRESH, target_rows=256,
+                 triu=False):
+        ga, gb = mol.shell_groups[la], mol.shell_groups[lb]
+        self.la, self.lb = la, lb
+        self.ga, self.gb = ga, gb
+        self.triu = triu
+        bound = pair_screen_bound(ga, gb)
+        if triu:      # same-l class: keep only i <= j shell pairs
+            bound = np.triu(bound)
+        sel = np.argwhere(bound > thresh)
+        self.nsel = sel.shape[0]
+        self.sel_a = sel[:, 0]
+        self.sel_b = sel[:, 1]
+        Ka, Kb = ga.nprim, gb.nprim
+        self.KK = Ka * Kb
+        self.pair_chunk = max(1, target_rows // self.KK)
+        npad = max(1, -(-self.nsel // self.pair_chunk)) * self.pair_chunk
+        self.npad = npad
+        self.nchunk = npad // self.pair_chunk
+        ea = np.ones((npad, Ka))
+        ca = np.zeros((npad, Ka))
+        ra = np.zeros((npad, 3))
+        eb = np.ones((npad, Kb))
+        cb = np.zeros((npad, Kb))
+        rb = np.zeros((npad, 3))
+        ea[:self.nsel] = ga.exps[self.sel_a]
+        ca[:self.nsel] = ga.coeffs[self.sel_a]
+        ra[:self.nsel] = ga.coords[self.sel_a]
+        eb[:self.nsel] = gb.exps[self.sel_b]
+        cb[:self.nsel] = gb.coeffs[self.sel_b]
+        rb[:self.nsel] = gb.coords[self.sel_b]
+        p, P, E = _paired_data_kernel(
+            la, lb, jnp.asarray(ea), jnp.asarray(ca), jnp.asarray(ra),
+            jnp.asarray(eb), jnp.asarray(cb), jnp.asarray(rb))
+        rows = self.pair_chunk * self.KK
+        self.nc = E.shape[1]
+        self.nt = E.shape[2]
+        self.p = p.reshape(self.nchunk, rows)
+        self.P = P.reshape(self.nchunk, rows, 3)
+        self.E = E.reshape(self.nchunk, rows, self.nc, self.nt)
+
+
+class AuxBlock:
+    """One padded block of Hermite data for all aux shells of one l."""
+
+    def __init__(self, auxmol, l, shl_pad=8):
+        g = auxmol.shell_groups[l]
+        self.l = l
+        self.g = g
+        K = g.nprim
+        nsx = g.nshl
+        nsx_pad = -(-nsx // shl_pad) * shl_pad
+        e = np.ones((nsx_pad, K))
+        c = np.zeros((nsx_pad, K))
+        r = np.zeros((nsx_pad, 3))
+        e[:nsx] = g.exps
+        c[:nsx] = g.coeffs
+        r[:nsx] = g.coords
+        self.p, self.P, self.E = _aux_data_kernel(
+            l, jnp.asarray(e), jnp.asarray(c), jnp.asarray(r))
+        self.nsx = nsx
+        self.nsx_pad = nsx_pad
+        self.KK = K
+        self.nc = self.E.shape[1]
+        self.nt = self.E.shape[2]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _j3c_scan(L1, L2, nt1, nt2, KK1, KK2, p1, P1, E1, p2, P2, E2):
+    """Scan bra pair chunks against a full ket block; prim sums on device.
+
+    p1 (nchunk, C1), E1 (nchunk, C1, nc1, nt1) with C1 = npair*KK1;
+    p2 (mX,), E2 (mX, nc2, nt2) with mX = nsx*KK2.
+    Returns (nchunk, npair, nc1, nsx, nc2)."""
+    nc1 = E1.shape[2]
+    nc2 = E2.shape[1]
+    C1 = p1.shape[1]
+    mX = p2.shape[0]
+    npair = C1 // KK1
+    nsx = mX // KK2
+
+    def body(carry, ch):
+        p, P, E = ch
+        out = _eri_core(L1, L2, nt1, nt2, p, P, E, p2, P2, E2)
+        out = out.reshape(npair, KK1, nc1, nsx, KK2, nc2).sum(axis=(1, 4))
+        return carry, out
+
+    _, ys = jax.lax.scan(body, 0, (p1, P1, E1))
+    return ys
+
+
+def _scan_groups(sp, ab, max_elems=int(2e8)):
+    """Split sp's chunks into fixed-size groups so each scan's output stays
+    under max_elems elements (keeps peak device memory bounded)."""
+    per_chunk = sp.pair_chunk * sp.nc * ab.nsx_pad * ab.nc
+    g = max(1, int(max_elems // max(per_chunk, 1)))
+    return min(g, sp.nchunk)
+
+
+def _j3c_class(sp, ab):
+    """(screened pair class | aux class) -> numpy (nsel, nc1, nsx, nc2)."""
+    L1 = sp.la + sp.lb
+    g = _scan_groups(sp, ab)
+    outs = []
+    for i0 in range(0, sp.nchunk, g):
+        i1 = min(i0 + g, sp.nchunk)
+        ys = _j3c_scan(L1, ab.l, sp.nt, ab.nt, sp.KK, ab.KK,
+                       sp.p[i0:i1], sp.P[i0:i1], sp.E[i0:i1],
+                       ab.p, ab.P, ab.E)
+        outs.append(np.asarray(ys))
+    ys = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    ys = ys.reshape(sp.npad, sp.nc, ab.nsx_pad, ab.nc)
+    return ys[:sp.nsel, :, :ab.nsx, :]
+
+
+@on_integral_device
 def int3c2e(mol, auxmol):
-    """(mu nu | P) three-center two-electron integrals, (nao, nao, naux)."""
+    """(mu nu | P) three-center two-electron integrals, (nao, nao, naux).
+
+    Screened shell pairs, one scan dispatch per (pair-class, aux-class)
+    block (reference: libcint int3c2e driven by pyscf/df/incore.py:40)."""
     nao, naux = mol.nao, auxmol.nao
     out = np.zeros((nao, nao, naux))
     ls = sorted(mol.shell_groups.keys())
+    aux_blocks = {lx: AuxBlock(auxmol, lx)
+                  for lx in sorted(auxmol.shell_groups.keys())}
     for la in ls:
         for lb in ls:
-            pc = PairClass(mol, la, lb)
+            if lb < la:
+                continue       # (ab|P) = (ba|P): mirror at scatter time
+            sp = ScreenedPairs(mol, la, lb, triu=(la == lb))
+            if sp.nsel == 0:
+                continue
+            da, db = 2 * la + 1, 2 * lb + 1
             nca, ncb = len(cart_components(la)), len(cart_components(lb))
-            ia = pc.ga.ao_off[:, None] + np.arange(2 * la + 1)
-            jb = pc.gb.ao_off[:, None] + np.arange(2 * lb + 1)
-            for lx in sorted(auxmol.shell_groups.keys()):
-                ac = AuxClass(auxmol, lx)
-                blk = _aux_block(pc, ac)
-                nsa, nsb, nsx = pc.ga.nshl, pc.gb.nshl, ac.g.nshl
-                blk = blk.reshape(nsa, nsb, nca, ncb, nsx, ac.nc)
-                blk = np.einsum('mp,nq,abpqxr,sr->ambnxs',
-                                _sph(la), _sph(lb), blk, _sph(lx),
-                                optimize=True)
-                xx = ac.g.ao_off[:, None] + np.arange(2 * lx + 1)
-                out[np.ix_(ia.ravel(), jb.ravel(), xx.ravel())] = \
-                    blk.reshape(ia.size, jb.size, xx.size)
+            Sa, Sb = _sph(la), _sph(lb)
+            ia = sp.ga.ao_off[sp.sel_a][:, None] + np.arange(da)
+            jb = sp.gb.ao_off[sp.sel_b][:, None] + np.arange(db)
+            for lx, ab in aux_blocks.items():
+                vals = _j3c_class(sp, ab)
+                vals = vals.reshape(sp.nsel, nca, ncb, ab.nsx, ab.nc)
+                vals = np.einsum('mp,nq,er,spqxr->smnxe', Sa, Sb, _sph(lx),
+                                 vals, optimize=True)
+                dx = 2 * lx + 1
+                xz = ab.g.ao_off[:, None] + np.arange(dx)
+                out[ia[:, :, None, None, None],
+                    jb[:, None, :, None, None],
+                    xz[None, None, None, :, :]] = vals
+                out[jb[:, :, None, None, None],
+                    ia[:, None, :, None, None],
+                    xz[None, None, None, :, :]] = \
+                    vals.transpose(0, 2, 1, 3, 4)
     return jnp.asarray(out)
 
 
+@on_integral_device
 def int2c2e(mol):
-    """(P|Q) two-center two-electron integrals over mol's shells."""
+    """(P|Q) two-center two-electron integrals over mol's shells.
+
+    One full-block kernel call per (lx, ly) class pair (the aux basis is
+    small; reference libcint int2c2e via pyscf/df/incore.py:40 aux_e2)."""
     nao = mol.nao
     out = np.zeros((nao, nao))
-    for lx in sorted(mol.shell_groups.keys()):
-        ax = AuxClass(mol, lx)
+    blocks = {l: AuxBlock(mol, l) for l in sorted(mol.shell_groups.keys())}
+    for lx, ax in blocks.items():
         ix = ax.g.ao_off[:, None] + np.arange(2 * lx + 1)
-        for ly in sorted(mol.shell_groups.keys()):
-            ay = AuxClass(mol, ly)
-            d1 = ax.device_chunks()
-            d2 = ay.device_chunks()
-            acc = None
-            for i in range(ax.nchunk):
-                row = []
-                for j in range(ay.nchunk):
-                    blk = _eri_chunk(ax.l, ay.l, ax.nt, ay.nt,
-                                     *d1[i], *d2[j])
-                    row.append(np.asarray(blk))
-                row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
-                acc = row if acc is None else np.concatenate([acc, row],
-                                                             axis=0)
-            blk = acc[:ax.m, :, :ay.m, :]
-            nsx, nsy = ax.g.nshl, ay.g.nshl
-            blk = blk.reshape(nsx, ax.KK, ax.nc, nsy, ay.KK, ay.nc)
-            blk = blk.sum(axis=(1, 4))
+        for ly, ay in blocks.items():
+            blk = _eri_chunk(lx, ly, ax.nt, ay.nt, ax.p, ax.P, ax.E,
+                             ay.p, ay.P, ay.E)
+            blk = np.asarray(blk).reshape(ax.nsx_pad, ax.KK, ax.nc,
+                                          ay.nsx_pad, ay.KK, ay.nc)
+            blk = blk.sum(axis=(1, 4))[:ax.nsx, :, :ay.nsx, :]
             blk = np.einsum('mp,xpyq,nq->xmyn', _sph(lx), blk, _sph(ly),
                             optimize=True)
             jy = ay.g.ao_off[:, None] + np.arange(2 * ly + 1)
@@ -439,6 +611,7 @@ def _deriv_class_pair_block(pc1, pc2):
     return out.sum(axis=(2, 6))
 
 
+@on_integral_device
 def int2e_ip1(mol):
     """(3, nao, nao, nao, nao): d/d(bra-center) of (mu nu|la si)."""
     nao = mol.nao

@@ -1,0 +1,219 @@
+"""Fused SCF driver: the whole self-consistent loop as ONE compiled XLA
+program (lax.while_loop), with device-side DIIS.
+
+The reference iterates on the host, dispatching a dozen kernels per cycle
+(scf/hf.py:170-207: get_fock, DIIS, eig, get_occ, make_rdm1, get_veff,
+energy_elec). Here the cycle body — Fock build (J/K/XC), DIIS ring-buffer
+extrapolation, generalized diagonalization via canonical orthogonalization,
+aufbau occupation, density update, energy and gradient-norm convergence
+test — is traced once into a single program that runs to convergence on
+device in one dispatch. Convergence thresholds and max_cycle are runtime
+scalars (no recompile when they change); programs are cached on the Mole
+so repeated kernels on the same molecule are compile-free.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _diis_extrapolate(fh, eh, nval):
+    """DIIS solve over a (space, n, n) ring buffer with nval valid slots.
+
+    Minimizes |sum_i c_i err_i| s.t. sum c_i = 1 (Pulay; reference
+    lib/diis.py:244). Invalid slots are decoupled by identity rows so their
+    coefficients vanish. The (space+1)^2 system is solved by eigh
+    pseudo-inverse for robustness near convergence.
+    """
+    space = fh.shape[0]
+    ef = eh.reshape(space, -1)
+    G = ef @ ef.T
+    valid = jnp.arange(space) < nval
+    vv = valid[:, None] & valid[None, :]
+    eye = jnp.eye(space, dtype=G.dtype)
+    G = jnp.where(vv, G, eye)
+    # normalize for conditioning (reference scales by err norms)
+    scale = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 1e-300))
+    scale = jnp.where(valid, scale, 1.0)
+    G = G / (scale[:, None] * scale[None, :])
+    H = jnp.zeros((space + 1, space + 1), dtype=G.dtype)
+    H = H.at[:space, :space].set(G)
+    # we solve for d_i = c_i * scale_i, so the sum-to-one constraint row
+    # carries the inverse scales: sum_i d_i / scale_i = 1
+    cvec = jnp.where(valid, -1.0 / scale, 0.0)
+    H = H.at[:space, space].set(cvec)
+    H = H.at[space, :space].set(cvec)
+    rhs = jnp.zeros(space + 1, dtype=G.dtype).at[space].set(-1.0)
+    w, v = jnp.linalg.eigh(H)
+    winv = jnp.where(jnp.abs(w) > 1e-14 * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
+    c = v @ (winv * (v.T @ rhs))
+    c = jnp.where(valid, c[:space] / scale, 0.0)
+    return jnp.tensordot(c, fh, axes=(0, 0))
+
+
+def build_restricted_program(nocc, diis_space, veff_fn):
+    """One-dispatch restricted SCF.
+
+    veff_fn(veff_data, dm, co) -> (vhf, e2) must be jit-traceable; co is the
+    sqrt(occ)-scaled occupied-orbital factor with dm == co @ co.T exactly
+    (J from dm, K/XC free to use either). e2 is the two-electron +
+    exchange-correlation energy so that e_elec = tr(h dm) + e2.
+
+    Returns a jitted program
+      program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
+              max_cycle) -> (e_elec, converged, n_cycles, mo_energy,
+                             mo_coeff, dm)
+    """
+
+    def eigh_gen(f, x):
+        fp = x.T @ f @ x
+        e, cp = jnp.linalg.eigh(fp)
+        return e, x @ cp
+
+    @jax.jit
+    def program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
+                max_cycle):
+        nao = h1e.shape[0]
+        space = diis_space
+
+        # initial occupied factor from the guess density's natural orbitals
+        w0, u0 = jnp.linalg.eigh(dm0)
+        co0 = (u0[:, ::-1][:, :nocc]
+               * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
+
+        def body(st):
+            cyc, done, e_prev, co, moe, moc, fh, eh = st
+            dm = co @ co.T
+            vhf, e2 = veff_fn(veff_data, dm, co)
+            f = h1e + vhf
+            e_elec = jnp.sum(h1e * dm) + e2
+            sdf = s1e @ dm @ f
+            err = sdf.T - sdf
+            idx = jnp.mod(cyc, space)
+            fh = fh.at[idx].set(f)
+            eh = eh.at[idx].set(err)
+            f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, space))
+            moe_n, moc_n = eigh_gen(f_d, x)
+            co_n = moc_n[:, :nocc] * jnp.sqrt(2.0)
+            gnorm = jnp.linalg.norm(x.T @ err @ x)
+            de = jnp.abs(e_elec - e_prev)
+            done = (de < conv_tol) & (gnorm < conv_tol_grad)
+            return (cyc + 1, done, e_elec, co_n, moe_n, moc_n, fh, eh)
+
+        def cond(st):
+            return (~st[1]) & (st[0] < max_cycle)
+
+        dt = h1e.dtype
+        init = (jnp.int32(0), jnp.bool_(False), jnp.asarray(0.0, dt), co0,
+                jnp.zeros(nao, dt), jnp.zeros((nao, nao), dt),
+                jnp.zeros((space, nao, nao), dt),
+                jnp.zeros((space, nao, nao), dt))
+        cyc, done, _, co, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+        # extra diagonalization of the TRUE (un-extrapolated) Fock for
+        # canonical mo_energy/mo_coeff (reference scf/hf.py:214-243), then
+        # a final energy consistent with that density
+        dm = co @ co.T
+        vhf, _ = veff_fn(veff_data, dm, co)
+        moe, moc = eigh_gen(h1e + vhf, x)
+        co = moc[:, :nocc] * jnp.sqrt(2.0)
+        dm = co @ co.T
+        vhf, e2 = veff_fn(veff_data, dm, co)
+        e_elec = jnp.sum(h1e * dm) + e2
+        return e_elec, done, cyc, moe, moc, dm
+
+    return program
+
+
+def _occ_factor(dm, n):
+    """co with co @ co.T ~= dm (top-n natural orbitals of the guess)."""
+    w, u = jnp.linalg.eigh(dm)
+    return u[:, ::-1][:, :n] * jnp.sqrt(jnp.maximum(w[::-1][:n], 0.0))[None, :]
+
+
+def build_unrestricted_program(na, nb, diis_space, veff_fn):
+    """One-dispatch unrestricted SCF (UHF/UKS).
+
+    veff_fn(veff_data, dma, dmb, coa, cob) -> (vhf (2,n,n), e2) traceable;
+    co* are the occupied-orbital factors (occupation 1), dm_s == co_s co_s^T.
+
+    Returns a jitted program
+      program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
+              max_cycle) -> (e_elec, converged, n_cycles, mo_energy (2,n),
+                             mo_coeff (2,n,n), dm (2,n,n))
+    """
+
+    def eigh_gen(f, x):
+        fp = x.T @ f @ x
+        e, cp = jnp.linalg.eigh(fp)
+        return e, x @ cp
+
+    @jax.jit
+    def program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
+                max_cycle):
+        nao = h1e.shape[0]
+        space = diis_space
+        coa0 = _occ_factor(dm0[0], na)
+        cob0 = _occ_factor(dm0[1], nb)
+
+        def err_of(dm, f):
+            sdf = s1e @ dm @ f
+            return sdf.T - sdf
+
+        def fock_and_energy(coa, cob):
+            dma = coa @ coa.T
+            dmb = cob @ cob.T
+            vhf, e2 = veff_fn(veff_data, dma, dmb, coa, cob)
+            f = h1e[None] + vhf
+            e_elec = jnp.sum(h1e * (dma + dmb)) + e2
+            err = jnp.stack([err_of(dma, f[0]), err_of(dmb, f[1])])
+            return f, e_elec, err
+
+        def body(st):
+            cyc, done, e_prev, coa, cob, fh, eh = st
+            f, e_elec, err = fock_and_energy(coa, cob)
+            idx = jnp.mod(cyc, space)
+            fh = fh.at[idx].set(f)
+            eh = eh.at[idx].set(err)
+            f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, space))
+            _, ca = eigh_gen(f_d[0], x)
+            _, cb = eigh_gen(f_d[1], x)
+            coa_n = ca[:, :na]
+            cob_n = cb[:, :nb]
+            gnorm = jnp.sqrt(jnp.linalg.norm(x.T @ err[0] @ x) ** 2
+                             + jnp.linalg.norm(x.T @ err[1] @ x) ** 2)
+            de = jnp.abs(e_elec - e_prev)
+            done = (de < conv_tol) & (gnorm < conv_tol_grad)
+            return (cyc + 1, done, e_elec, coa_n, cob_n, fh, eh)
+
+        def cond(st):
+            return (~st[1]) & (st[0] < max_cycle)
+
+        dt = h1e.dtype
+        init = (jnp.int32(0), jnp.bool_(False), jnp.asarray(0.0, dt),
+                coa0, cob0,
+                jnp.zeros((space, 2, nao, nao), dt),
+                jnp.zeros((space, 2, nao, nao), dt))
+        cyc, done, _, coa, cob, _, _ = jax.lax.while_loop(cond, body, init)
+        # extra diagonalization of the true Fock (reference hf.py:214-243)
+        f, _, _ = fock_and_energy(coa, cob)
+        ea, ca = eigh_gen(f[0], x)
+        eb, cb = eigh_gen(f[1], x)
+        coa = ca[:, :na]
+        cob = cb[:, :nb]
+        f, e_elec, _ = fock_and_energy(coa, cob)
+        dm = jnp.stack([coa @ coa.T, cob @ cob.T])
+        return (e_elec, done, cyc, jnp.stack([ea, eb]), jnp.stack([ca, cb]),
+                dm)
+
+    return program
+
+
+def get_program(mol, key, builder):
+    """Per-molecule compiled-program cache."""
+    cache = getattr(mol, '_scf_prog_cache', None)
+    if cache is None:
+        cache = mol._scf_prog_cache = {}
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]

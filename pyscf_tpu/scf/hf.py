@@ -226,8 +226,68 @@ class SCF:
         mo_occ = self.get_occ(mo_energy, mo_coeff)
         return self.make_rdm1(mo_coeff, mo_occ)
 
+    # ---------------- fused one-dispatch driver ------------------------
+    _fused_kind = None      # 'restricted' on classes the fused driver covers
+
+    def _fused_veff(self):
+        """(key, veff_fn, veff_data) for the fused program, or None."""
+        return None
+
+    def _fused_ok(self):
+        # instance-level monkey-patches (solvent/qmmm wrappers, smearing)
+        # customize the cycle body -> use the legacy host loop for those
+        patched = any(k in self.__dict__ for k in
+                      ('get_veff', 'get_fock', 'get_occ', 'energy_elec',
+                       'get_hcore'))
+        return (self._fused_kind in ('restricted', 'unrestricted')
+                and not patched
+                and self.level_shift == 0
+                and getattr(self, 'sigma', None) in (None, 0))
+
+    def _kernel_fused(self, dm0=None):
+        from .fused import (build_restricted_program,
+                            build_unrestricted_program, get_program)
+        mol = self.mol
+        t_start = time.time()
+        conv_tol_grad = (np.sqrt(self.conv_tol)
+                         if self.conv_tol_grad is None else self.conv_tol_grad)
+        s1e = self.get_ovlp(mol)
+        h1e = self.get_hcore(mol)
+        self._orth = canonical_orth(s1e, self.lindep_thresh)
+        dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
+        kind, veff_fn, veff_data = self._fused_veff()
+        if self._fused_kind == 'restricted':
+            nocc = mol.nelectron // 2
+            key = (kind, mol.nao, nocc, self.diis_space)
+            prog = get_program(mol, key, lambda: build_restricted_program(
+                nocc, self.diis_space, veff_fn))
+        else:
+            na, nb = mol.nelec
+            key = (kind, mol.nao, na, nb, self.diis_space)
+            prog = get_program(mol, key, lambda: build_unrestricted_program(
+                na, nb, self.diis_space, veff_fn))
+        e_elec, done, ncyc, moe, moc, dm = prog(
+            veff_data, h1e, s1e, self._orth, dm,
+            self.conv_tol, conv_tol_grad, self.max_cycle)
+        self.converged = bool(done)
+        self.e_tot = float(e_elec) + self.energy_nuc()
+        self.mo_energy = moe
+        self.mo_coeff = moc
+        self.mo_occ = self.get_occ(moe, moc)
+        self._stash_occ_orbitals(moc, self.mo_occ)
+        self.dump_chk()
+        if self.verbose >= param.VERBOSE_NOTE:
+            state = 'converged' if self.converged else 'NOT converged'
+            print(f'SCF {state} in {int(ncyc)} cycles. '
+                  f'E= {self.e_tot:.14f} ({time.time() - t_start:.1f}s)')
+        return self.e_tot
+
     # ---------------- driver ------------------------------------------
     def kernel(self, dm0=None, **kwargs):
+        if self._fused_ok() and self.verbose < param.VERBOSE_INFO:
+            res = self._fused_veff()
+            if res is not None:
+                return self._kernel_fused(dm0)
         mol = self.mol
         t_start = time.time()
         if self.conv_tol_grad is None:
@@ -332,11 +392,40 @@ class SCF:
 
 
 class RHF(SCF):
+    _fused_kind = 'restricted'
+
     def __init__(self, mol):
         if mol.nelectron % 2 != 0 or mol.spin != 0:
             raise RuntimeError('RHF requires closed-shell molecule; '
                                'use UHF/ROHF')
         super().__init__(mol)
+
+    def _fused_veff(self):
+        if self.with_df is not None:
+            B = self.with_df.cderi
+
+            def veff_fn(data, dm, co):
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dm)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                Bo = jnp.einsum('pij,jo->pio', B, co)
+                vk = jnp.einsum('pio,pjo->ij', Bo, Bo)
+                vhf = vj - 0.5 * vk
+                return vhf, 0.5 * jnp.sum(vhf * dm)
+
+            return ('rhf-df', B.shape), veff_fn, {'B': B}
+        if self._eri is None:
+            self._eri = self.mol.intor('int2e')
+        eri = self._eri
+
+        def veff_fn(data, dm, co):
+            eri = data['eri']
+            vj = jnp.einsum('ijkl,lk->ij', eri, dm)
+            vk = jnp.einsum('ilkj,lk->ij', eri, dm)
+            vhf = vj - 0.5 * vk
+            return vhf, 0.5 * jnp.sum(vhf * dm)
+
+        return ('rhf-eri', eri.shape), veff_fn, {'eri': eri}
 
     # post-HF constructors
     def MP2(self, **kwargs):

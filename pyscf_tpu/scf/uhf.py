@@ -8,6 +8,40 @@ from .hf import SCF, _density
 class UHF(SCF):
     """UHF: dm is a stacked (2, nao, nao) array [dm_alpha, dm_beta]."""
 
+    _fused_kind = 'unrestricted'
+
+    def _fused_veff(self):
+        if self.with_df is not None:
+            B = self.with_df.cderi
+
+            def veff_fn(data, dma, dmb, coa, cob):
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dma + dmb)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                Boa = jnp.einsum('pij,jo->pio', B, coa)
+                Bob = jnp.einsum('pij,jo->pio', B, cob)
+                vka = jnp.einsum('pio,pjo->ij', Boa, Boa)
+                vkb = jnp.einsum('pio,pjo->ij', Bob, Bob)
+                vhf = jnp.stack([vj - vka, vj - vkb])
+                e2 = 0.5 * (jnp.sum(vhf[0] * dma) + jnp.sum(vhf[1] * dmb))
+                return vhf, e2
+
+            return ('uhf-df', B.shape), veff_fn, {'B': B}
+        if self._eri is None:
+            self._eri = self.mol.intor('int2e')
+        eri = self._eri
+
+        def veff_fn(data, dma, dmb, coa, cob):
+            eri = data['eri']
+            vj = jnp.einsum('ijkl,lk->ij', eri, dma + dmb)
+            vka = jnp.einsum('ilkj,lk->ij', eri, dma)
+            vkb = jnp.einsum('ilkj,lk->ij', eri, dmb)
+            vhf = jnp.stack([vj - vka, vj - vkb])
+            e2 = 0.5 * (jnp.sum(vhf[0] * dma) + jnp.sum(vhf[1] * dmb))
+            return vhf, e2
+
+        return ('uhf-eri', eri.shape), veff_fn, {'eri': eri}
+
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         dm = jnp.asarray(dm)
         vj, vk = self.get_jk(mol, dm)
