@@ -61,6 +61,89 @@ class NumInt:
         return np.asarray(n), float(exc), vmat
 
     # -------------------------------------------------------------
+    @staticmethod
+    def aod_program(mol, deriv):
+        """Jitted scan evaluating AO values (+derivs) on blocked grid
+        coords; compiled once per (mol, deriv) and cached on the Mole.
+        AO values are density-independent, so the fused SCF program takes
+        them as an input instead of re-evaluating every cycle."""
+        cache = getattr(mol, '_aod_prog_cache', None)
+        if cache is None:
+            cache = mol._aod_prog_cache = {}
+        if deriv not in cache:
+            @jax.jit
+            def run(coords):
+                def block(carry, c):
+                    return carry, eval_ao(mol, c, deriv=deriv)
+                _, ys = jax.lax.scan(block, 0, coords)
+                return ys
+            cache[deriv] = run
+        return cache[deriv]
+
+    def grid_ao(self, mol, grids, deriv):
+        """(aod, weights) blocked for the fused path: aod is
+        (nblk, blk, nao) for LDA or (nblk, 4, blk, nao) for GGA."""
+        coords, weights = _pad_grid(grids.coords, grids.weights)
+        aod = self.aod_program(mol, deriv)(coords)
+        return aod, weights
+
+    def _get_rks_core_aod(self, mol, xc_code):
+        """Traceable (aod, weights, dm) -> (n, exc, vmat) over precomputed
+        AO blocks (the per-cycle XC cost is then pure matmuls)."""
+        key = (id(mol), xc_code, 'r-aod')
+        if key in self._cache:
+            return self._cache[key]
+        xc = xc_mod.parse_xc(xc_code)
+        deriv = 1 if xc.is_gga else 0
+
+        def edens_closed(rho, sigma):
+            ra = 0.5 * rho
+            s4 = 0.25 * sigma
+            return xc.exc_density(ra, ra, s4, s4, s4)
+
+        exc_grad = jax.grad(
+            lambda r, s: jnp.sum(edens_closed(r, s)), argnums=(0, 1))
+
+        def run(aod_blocks, weights, dm):
+            def block(carry, xw):
+                n_acc, e_acc, v_acc = carry
+                aod, w = xw
+                if deriv == 0:
+                    ao = aod
+                else:
+                    ao = aod[0]
+                dmao = ao @ dm
+                rho = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
+                if deriv == 0:
+                    sigma = jnp.zeros_like(rho)
+                else:
+                    grho = 2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
+                    sigma = jnp.einsum('db,db->b', grho, grho)
+                mask, rho_s, sigma_s = _masked(rho, sigma)
+                e_blk = jnp.sum(jnp.where(
+                    mask, w * edens_closed(rho_s, sigma_s), 0.0))
+                vrho, vsigma = exc_grad(rho_s, sigma_s)
+                wv = jnp.where(mask, w * vrho, 0.0)
+                if deriv == 0:
+                    v_blk = jnp.einsum('b,bi,bj->ij', 0.5 * wv, ao, ao)
+                else:
+                    wvs = jnp.where(mask, w * vsigma, 0.0)
+                    vtmp = 0.5 * wv[:, None] * ao \
+                        + 2.0 * jnp.einsum('b,db,dbi->bi', wvs, grho,
+                                           aod[1:])
+                    v_blk = ao.T @ vtmp
+                n_blk = jnp.sum(w * rho)
+                return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
+
+            nao = dm.shape[-1]
+            init = (0.0, 0.0, jnp.zeros((nao, nao)))
+            (n, e, v), _ = jax.lax.scan(block, init,
+                                        (aod_blocks, weights))
+            return n, e, v + v.T
+
+        self._cache[key] = run
+        return run
+
     def _get_rks_fn(self, mol, xc_code):
         key = (id(mol), xc_code, 'r-jit')
         if key in self._cache:
@@ -127,6 +210,74 @@ class NumInt:
             (n, e, v), _ = jax.lax.scan(block, init, (coords, weights))
             v = v + v.T
             return n, e, v
+
+        self._cache[key] = run
+        return run
+
+    def _get_uks_core_aod(self, mol, xc_code):
+        """Traceable (aod, weights, dm(2,n,n)) -> (n(2,), exc, vmat(2,n,n))
+        over precomputed AO blocks."""
+        key = (id(mol), xc_code, 'u-aod')
+        if key in self._cache:
+            return self._cache[key]
+        xc = xc_mod.parse_xc(xc_code)
+        deriv = 1 if xc.is_gga else 0
+
+        def esum(ra, rb, saa, sab, sbb):
+            return jnp.sum(xc.exc_density(ra, rb, saa, sab, sbb))
+
+        exc_grad = jax.grad(esum, argnums=(0, 1, 2, 3, 4))
+
+        def run(aod_blocks, weights, dm):
+            def block(carry, xw):
+                n_acc, e_acc, v_acc = carry
+                aod, w = xw
+                ao = aod if deriv == 0 else aod[0]
+                rhos, grhos = [], []
+                for s in range(2):
+                    dmao = ao @ dm[s]
+                    r = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
+                    g = (2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
+                         if deriv else jnp.zeros((3,) + r.shape))
+                    rhos.append(r)
+                    grhos.append(g)
+                ra, rb = rhos
+                saa = jnp.einsum('db,db->b', grhos[0], grhos[0])
+                sab = jnp.einsum('db,db->b', grhos[0], grhos[1])
+                sbb = jnp.einsum('db,db->b', grhos[1], grhos[1])
+                mask = (ra + rb) > RHO_THR
+                sf = lambda x, lo: jnp.where(mask, jnp.maximum(x, lo), 1.0)
+                ras, rbs = sf(ra, 0.5 * RHO_THR), sf(rb, 0.5 * RHO_THR)
+                saas = sf(saa, SIGMA_FLOOR)
+                sabs = sf(sab, -jnp.inf)
+                sbbs = sf(sbb, SIGMA_FLOOR)
+                e_blk = jnp.sum(jnp.where(
+                    mask, w * xc.exc_density(ras, rbs, saas, sabs, sbbs),
+                    0.0))
+                vra, vrb, vsaa, vsab, vsbb = exc_grad(ras, rbs, saas, sabs,
+                                                      sbbs)
+                vs = []
+                for vr, vss, vsx, go, gx in (
+                        (vra, vsaa, vsab, grhos[0], grhos[1]),
+                        (vrb, vsbb, vsab, grhos[1], grhos[0])):
+                    wv = jnp.where(mask, w * vr, 0.0)
+                    vtmp = 0.5 * wv[:, None] * ao
+                    if deriv:
+                        wvss = jnp.where(mask, w * vss, 0.0)
+                        wvsx = jnp.where(mask, w * vsx, 0.0)
+                        vtmp = vtmp \
+                            + 2.0 * jnp.einsum('b,db,dbi->bi', wvss, go,
+                                               aod[1:]) \
+                            + jnp.einsum('b,db,dbi->bi', wvsx, gx, aod[1:])
+                    vs.append(ao.T @ vtmp)
+                v_blk = jnp.stack(vs)
+                n_blk = jnp.stack([jnp.sum(w * ra), jnp.sum(w * rb)])
+                return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
+
+            nao = dm.shape[-1]
+            init = (jnp.zeros(2), 0.0, jnp.zeros((2, nao, nao)))
+            (n, e, v), _ = jax.lax.scan(block, init, (aod_blocks, weights))
+            return n, e, v + v.transpose(0, 2, 1)
 
         self._cache[key] = run
         return run

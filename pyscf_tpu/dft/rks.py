@@ -28,18 +28,19 @@ class RKS(KohnShamDFT, RHF):
         self._init_ks(xc)
 
     def _fused_veff(self):
-        from .numint import _pad_grid
         if self.grids.coords is None:
             self.grids.build()
-        coords, weights = _pad_grid(self.grids.coords, self.grids.weights)
-        core = self._numint._get_rks_core(self.mol, self.xc)
+        xc_obj = self.xc_obj
+        deriv = 1 if xc_obj.is_gga else 0
+        aod, weights = self._numint.grid_ao(self.mol, self.grids, deriv)
+        core = self._numint._get_rks_core_aod(self.mol, self.xc)
         hyb = float(self._numint.hybrid_coeff(self.xc))
-        data = {'coords': coords, 'weights': weights}
+        data = {'aod': aod, 'weights': weights}
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
 
             def veff_fn(data, dm, co):
-                _, exc, vxc = core(data['coords'], data['weights'], dm)
+                _, exc, vxc = core(data['aod'], data['weights'], dm)
                 B = data['B']
                 rho = jnp.einsum('pkl,lk->p', B, dm)
                 vj = jnp.einsum('p,pij->ij', rho, B)
@@ -52,14 +53,14 @@ class RKS(KohnShamDFT, RHF):
                     e2 = e2 - 0.25 * jnp.sum(vk * dm)
                 return vhf, e2
 
-            key = ('rks-df', self.xc, hyb, data['B'].shape, coords.shape)
+            key = ('rks-df', self.xc, hyb, data['B'].shape, aod.shape)
             return key, veff_fn, data
         if self._eri is None:
             self._eri = self.mol.intor('int2e')
         data['eri'] = self._eri
 
         def veff_fn(data, dm, co):
-            _, exc, vxc = core(data['coords'], data['weights'], dm)
+            _, exc, vxc = core(data['aod'], data['weights'], dm)
             eri = data['eri']
             vj = jnp.einsum('ijkl,lk->ij', eri, dm)
             e2 = 0.5 * jnp.sum(vj * dm) + exc
@@ -70,7 +71,7 @@ class RKS(KohnShamDFT, RHF):
                 e2 = e2 - 0.25 * jnp.sum(vk * dm)
             return vhf, e2
 
-        key = ('rks-eri', self.xc, hyb, data['eri'].shape, coords.shape)
+        key = ('rks-eri', self.xc, hyb, data['eri'].shape, aod.shape)
         return key, veff_fn, data
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):

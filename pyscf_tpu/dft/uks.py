@@ -11,13 +11,13 @@ class UKS(KohnShamDFT, UHF):
         self._init_ks(xc)
 
     def _fused_veff(self):
-        from .numint import _pad_grid
         if self.grids.coords is None:
             self.grids.build()
-        coords, weights = _pad_grid(self.grids.coords, self.grids.weights)
-        core = self._numint._get_uks_core(self.mol, self.xc)
+        deriv = 1 if self.xc_obj.is_gga else 0
+        aod, weights = self._numint.grid_ao(self.mol, self.grids, deriv)
+        core = self._numint._get_uks_core_aod(self.mol, self.xc)
         hyb = float(self._numint.hybrid_coeff(self.xc))
-        data = {'coords': coords, 'weights': weights}
+        data = {'aod': aod, 'weights': weights}
 
         def jk_terms(data, dma, dmb, coa, cob):
             if 'B' in data:
@@ -40,7 +40,7 @@ class UKS(KohnShamDFT, UHF):
             return vj, vka, vkb
 
         def veff_fn(data, dma, dmb, coa, cob):
-            _, exc, vxc = core(data['coords'], data['weights'],
+            _, exc, vxc = core(data['aod'], data['weights'],
                                jnp.stack([dma, dmb]))
             vj, vka, vkb = jk_terms(data, dma, dmb, coa, cob)
             e2 = 0.5 * jnp.sum(vj * (dma + dmb)) + exc
@@ -53,12 +53,12 @@ class UKS(KohnShamDFT, UHF):
 
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
-            key = ('uks-df', self.xc, hyb, data['B'].shape, coords.shape)
+            key = ('uks-df', self.xc, hyb, data['B'].shape, aod.shape)
         else:
             if self._eri is None:
                 self._eri = self.mol.intor('int2e')
             data['eri'] = self._eri
-            key = ('uks-eri', self.xc, hyb, data['eri'].shape, coords.shape)
+            key = ('uks-eri', self.xc, hyb, data['eri'].shape, aod.shape)
         return key, veff_fn, data
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):

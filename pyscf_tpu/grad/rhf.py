@@ -72,6 +72,14 @@ class Gradients:
         return grad_elec(self._scf)
 
     def kernel(self):
+        mf0 = self._scf
+        if getattr(mf0, 'with_df', None) is not None:
+            from .autodiff import grad_scf
+            e_chk, self.de = grad_scf(mf0)
+            if abs(e_chk - mf0.e_tot) > 1e-6:
+                raise RuntimeError(
+                    f'gradient energy check failed: {e_chk} vs {mf0.e_tot}')
+            return self.de
         self.de = self.grad_elec() + self.grad_nuc()
         return self.de
 

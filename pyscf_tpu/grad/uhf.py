@@ -10,8 +10,15 @@ class Gradients:
         self.de = None
 
     def kernel(self, step=1e-4):
-        from .rhf import finite_difference_gradient
         mf0 = self._scf
+        if getattr(mf0, 'with_df', None) is not None:
+            from .autodiff import grad_scf
+            e_chk, self.de = grad_scf(mf0)
+            if abs(e_chk - mf0.e_tot) > 1e-6:
+                raise RuntimeError(
+                    f'gradient energy check failed: {e_chk} vs {mf0.e_tot}')
+            return self.de
+        from .rhf import finite_difference_gradient
         spin = self.mol.spin
 
         def efac(m):

@@ -120,7 +120,16 @@ class Mole:
         self.symmetry = symmetry
         self._built = False
 
+    _CACHE_ATTRS = ('_intor_cache', '_scf_prog_cache', '_aod_prog_cache',
+                    '_grad_prog_cache')
+
+    def _drop_caches(self):
+        for a in self._CACHE_ATTRS:
+            if hasattr(self, a):
+                delattr(self, a)
+
     def build(self, **kwargs):
+        self._drop_caches()   # compiled programs bake in shell geometry
         for k, v in kwargs.items():
             setattr(self, k, v)
         self.elements_, self.raw_symbols, self.coords = format_atom(
@@ -230,9 +239,19 @@ class Mole:
 
     # ------------------------------------------------------------------
     def intor(self, name, **kwargs):
-        """Integral dispatcher (analog of reference mole.py:3482 intor)."""
+        """Integral dispatcher (analog of reference mole.py:3482 intor).
+
+        Results are geometry-fixed; parameterless calls are cached on the
+        molecule (cleared by copy/set_geom_)."""
         from ..ops.integrals import driver
-        return driver.intor(self, name, **kwargs)
+        if kwargs:
+            return driver.intor(self, name, **kwargs)
+        cache = getattr(self, '_intor_cache', None)
+        if cache is None:
+            cache = self._intor_cache = {}
+        if name not in cache:
+            cache[name] = driver.intor(self, name)
+        return cache[name]
 
     def intor_symmetric(self, name, **kwargs):
         return self.intor(name, **kwargs)
@@ -244,7 +263,13 @@ class Mole:
     # ------------------------------------------------------------------
     def copy(self):
         import copy as _copy
-        return _copy.deepcopy(self)
+        caches = {a: self.__dict__.pop(a) for a in self._CACHE_ATTRS
+                  if a in self.__dict__}
+        try:
+            new = _copy.deepcopy(self)
+        finally:
+            self.__dict__.update(caches)
+        return new
 
     def set_geom_(self, coords_bohr):
         """Update geometry in Bohr (same atom order), rebuild shell tables."""

@@ -60,18 +60,23 @@ def _class_ao(l, pts, exps, coeffs, centers, deriv):
     return out.reshape(ncomp, C, ns * (2 * l + 1))
 
 
-def eval_ao(mol, coords, deriv=0):
+def eval_ao(mol, coords, deriv=0, atom_coords=None):
     """AO values on coords (n,3): returns (nao, n) ... actually (ncomp, n, nao).
 
     deriv=0 -> (n, nao); deriv=1 -> (4, n, nao) [value, d/dx, d/dy, d/dz].
-    Traceable: safe to call inside jit with static mol.
+    Traceable: safe to call inside jit with static mol. If atom_coords
+    (natm, 3) is given (possibly a tracer), shell centers are gathered from
+    it — this makes AO values differentiable wrt nuclear positions (used by
+    the autodiff XC gradient, grad/autodiff.py).
     """
     coords = jnp.asarray(coords)
     cols = []
     col_order = []
     for l, g in mol.shell_groups.items():
+        centers = (jnp.asarray(g.coords) if atom_coords is None
+                   else atom_coords[jnp.asarray(g.atom_ids)])
         blk = _class_ao(l, coords, jnp.asarray(g.exps), jnp.asarray(g.coeffs),
-                        jnp.asarray(g.coords), deriv)
+                        centers, deriv)
         cols.append(blk)
         for off in g.ao_off:
             col_order.extend(range(off, off + 2 * l + 1))

@@ -55,17 +55,22 @@ def boys(mmax, t):
         fs_down.append(f)
     fs_down = jnp.stack(fs_down[::-1])          # (mmax+1, ...)
 
-    # ---- large-T branch: F0 asymptotic + upward recursion
-    sqt = jnp.sqrt(tt)
+    # ---- large-T branch: F0 asymptotic + upward recursion. Arguments are
+    # clamped to >= _TCRIT in this branch: its values are only selected for
+    # large T, and unclamped small-T lanes would produce inf/NaN that
+    # poison the BACKWARD pass through jnp.where (grad of the unselected
+    # branch is 0 * inf).
+    use_series = (t < _TCRIT)
+    tt_up = jnp.where(use_series, _TCRIT, tt)
+    et_up = jnp.exp(-tt_up)
+    sqt = jnp.sqrt(tt_up)
     f0 = 0.5 * jnp.sqrt(jnp.pi) / sqt * jax.scipy.special.erf(sqt)
     fs_up = [f0]
     f = f0
     for m in range(mmax):
-        f = ((2.0 * m + 1.0) * f - et) / (2.0 * tt)
+        f = ((2.0 * m + 1.0) * f - et_up) / (2.0 * tt_up)
         fs_up.append(f)
     fs_up = jnp.stack(fs_up)
-
-    use_series = (t < _TCRIT)
     out = jnp.where(use_series, fs_down, fs_up)
     # T -> 0 limit: F_m(0) = 1/(2m+1) (series handles this exactly already)
     return out.astype(dt)

@@ -11,6 +11,8 @@ from .uhf import UHF
 
 class ROHF(UHF):
 
+    _fused_kind = None   # ROHF constraints need the legacy host loop
+
     def get_fock(self, h1e, s1e, vhf, dm, cycle=-1, diis=None):
         """Roothaan single effective Fock (reference scf/rohf.py get_roothaan_fock)."""
         fa = h1e + vhf[0]

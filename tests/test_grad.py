@@ -37,3 +37,76 @@ def test_grad_nuc():
     r = 0.74 / 0.52917721092
     assert abs(g[0, 2] - 1.0 / r ** 2) < 1e-10
     assert abs(g.sum(axis=0)).max() < 1e-12
+
+
+def test_df_rhf_autodiff_grad():
+    """DF-RHF analytic (autodiff) gradient vs finite differences."""
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF().density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    g = np.asarray(mf.Gradients().kernel())
+    assert abs(g.sum(axis=0)).max() < 1e-8   # translational invariance
+    h = 1e-4
+    x0 = np.asarray(mol.coords).copy()
+
+    def efun(coords):
+        m2 = mol.copy()
+        m2.set_geom_(coords)
+        f = m2.RHF().density_fit()
+        f.conv_tol = 1e-12
+        return f.kernel()
+
+    for (a, d) in [(0, 2), (1, 1)]:
+        xp = x0.copy(); xp[a, d] += h
+        xm = x0.copy(); xm[a, d] -= h
+        gfd = (efun(xp) - efun(xm)) / (2 * h)
+        assert abs(g[a, d] - gfd) < 1e-6
+
+
+@pytest.mark.slow
+def test_df_rks_autodiff_grad():
+    """DF-RKS (B3LYP) autodiff gradient vs finite differences (no grid
+    response on either side of the comparison beyond the FD truth)."""
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = pt.dft.RKS(mol, xc='b3lypg').density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    g = np.asarray(mf.Gradients().kernel())
+    h = 2e-4
+    x0 = np.asarray(mol.coords).copy()
+
+    def efun(coords):
+        m2 = mol.copy()
+        m2.set_geom_(coords)
+        f = pt.dft.RKS(m2, xc='b3lypg').density_fit()
+        f.conv_tol = 1e-12
+        return f.kernel()
+
+    xp = x0.copy(); xp[1, 1] += h
+    xm = x0.copy(); xm[1, 1] -= h
+    gfd = (efun(xp) - efun(xm)) / (2 * h)
+    assert abs(g[1, 1] - gfd) < 1e-5
+
+
+@pytest.mark.slow
+def test_df_uhf_autodiff_grad():
+    molu = pt.M(atom=ATOM, basis='sto-3g', charge=1, spin=1, verbose=0)
+    mf = pt.scf.UHF(molu).density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    g = np.asarray(mf.Gradients().kernel())
+    h = 1e-4
+    x0 = np.asarray(molu.coords).copy()
+
+    def efun(coords):
+        m2 = molu.copy()
+        m2.set_geom_(coords)
+        f = pt.scf.UHF(m2).density_fit()
+        f.conv_tol = 1e-12
+        return f.kernel()
+
+    xp = x0.copy(); xp[0, 2] += h
+    xm = x0.copy(); xm[0, 2] -= h
+    gfd = (efun(xp) - efun(xm)) / (2 * h)
+    assert abs(g[0, 2] - gfd) < 1e-6
