@@ -13,9 +13,10 @@ from . import addons
 
 
 class DF:
-    def __init__(self, mol, auxbasis=None):
+    def __init__(self, mol, auxbasis=None, omega=None):
         self.mol = mol
         self.auxbasis = auxbasis
+        self.omega = omega      # erf(w r)/r long-range metric (RSH K)
         self.auxmol = None
         self._cderi = None      # (naux, nao, nao)
 
@@ -31,8 +32,10 @@ class DF:
         naux = self.auxmol.nao
         nao = mol.nao
         with integral_compute():
-            j3c = int2e_mod.int3c2e.__wrapped__(mol, self.auxmol)
-            j2c = int2e_mod.int2c2e.__wrapped__(self.auxmol)
+            j3c = int2e_mod.int3c2e.__wrapped__(mol, self.auxmol,
+                                                omega=self.omega)
+            j2c = int2e_mod.int2c2e.__wrapped__(self.auxmol,
+                                                omega=self.omega)
             L = jnp.linalg.cholesky(j2c)
             # B[P,ij]: solve L B = j3c^T
             rhs = j3c.reshape(nao * nao, naux).T

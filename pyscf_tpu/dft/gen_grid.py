@@ -173,6 +173,86 @@ def get_partition(mol, atom_grids_tab, radii_adjust=None,
     return np.concatenate(coords_all), np.concatenate(weights_all)
 
 
+_BECKE_BLK = 8192
+
+
+def _becke_weights_program(natm):
+    """Jitted blocked Becke partition: one compile per atom count."""
+    import jax
+
+    @jax.jit
+    def run(coords_b, w0_b, owner_b, atm_coords, inv_dist, a_adj):
+        # coords_b (nblk, B, 3); owner one-hot (nblk, B, natm)
+        def block(carry, cwo):
+            c, w0, owner = cwo
+            d = c[:, None, :] - atm_coords[None, :, :]
+            dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-200)
+            mu = (dist[:, :, None] - dist[:, None, :]) * inv_dist
+            mu = mu + a_adj[None] * (1.0 - mu * mu)
+            f = mu
+            for _ in range(3):
+                f = (1.5 - 0.5 * f * f) * f
+            s = 0.5 * (1.0 - f)
+            eye = jnp.eye(natm)
+            s = s * (1.0 - eye)[None] + eye[None]   # diagonal -> 1
+            pbecke = jnp.prod(s, axis=2)
+            w = w0 * jnp.sum(pbecke * owner, axis=1) \
+                / jnp.maximum(pbecke.sum(axis=1), 1e-300)
+            return carry, w
+        _, ws = jax.lax.scan(block, 0, (coords_b, w0_b, owner_b))
+        return ws
+
+    return run
+
+
+def get_partition_fast(mol, atom_grids_tab, radii_adjust=None,
+                       atomic_radii=None, becke_scheme=original_becke):
+    """Becke weights via a jitted blocked program on the default device.
+
+    Same math as get_partition (original_becke 3-iteration polynomial +
+    Treutler size adjustment) but evaluated in fixed-size point blocks on
+    device -- O(B * natm^2) memory per block instead of O(Np * natm^2)."""
+    atm_coords = np.asarray(mol.coords)
+    natm = mol.natm
+    coords_all, w0_all, owner_all = [], [], []
+    for ia in range(natm):
+        c, w0 = atom_grids_tab[mol.elements_[ia]]
+        coords_all.append(c + atm_coords[ia])
+        w0_all.append(w0)
+        owner_all.append(np.full(w0.shape[0], ia, dtype=np.int64))
+    coords = np.concatenate(coords_all)
+    w0 = np.concatenate(w0_all)
+    owner = np.concatenate(owner_all)
+    if natm == 1:
+        return coords, w0
+    if callable(radii_adjust) and atomic_radii is not None:
+        a_adj = radii_adjust(mol, atomic_radii)
+    else:
+        a_adj = np.zeros((natm, natm))
+    atm_dist = np.linalg.norm(
+        atm_coords[:, None, :] - atm_coords[None, :, :], axis=2)
+    np.fill_diagonal(atm_dist, 1.0)
+    inv_dist = 1.0 / atm_dist
+    npts = coords.shape[0]
+    nblk = -(-npts // _BECKE_BLK)
+    pad = nblk * _BECKE_BLK - npts
+    coords_b = np.pad(coords, ((0, pad), (0, 0))).reshape(nblk, _BECKE_BLK, 3)
+    w0_b = np.pad(w0, (0, pad)).reshape(nblk, _BECKE_BLK)
+    ow = np.zeros((npts + pad, natm))
+    ow[np.arange(npts), owner] = 1.0
+    ow_b = ow.reshape(nblk, _BECKE_BLK, natm)
+    cache = getattr(mol, '_aod_prog_cache', None)
+    if cache is None:
+        cache = mol._aod_prog_cache = {}
+    key = ('becke', natm)
+    if key not in cache:
+        cache[key] = _becke_weights_program(natm)
+    ws = np.asarray(cache[key](
+        jnp.asarray(coords_b), jnp.asarray(w0_b), jnp.asarray(ow_b),
+        jnp.asarray(atm_coords), jnp.asarray(inv_dist), jnp.asarray(a_adj)))
+    return coords, ws.reshape(-1)[:npts]
+
+
 class Grids:
     """Molecular integration grid (reference gen_grid.py:487 Grids)."""
 
@@ -193,8 +273,13 @@ class Grids:
         mol = self.mol
         tab = gen_atomic_grids(mol, self.atom_grid, self.radi_method,
                                self.level, self.prune)
-        coords, weights = get_partition(mol, tab, self.radii_adjust,
-                                        self.atomic_radii, self.becke_scheme)
+        if self.becke_scheme is original_becke:
+            coords, weights = get_partition_fast(
+                mol, tab, self.radii_adjust, self.atomic_radii)
+        else:
+            coords, weights = get_partition(
+                mol, tab, self.radii_adjust, self.atomic_radii,
+                self.becke_scheme)
         self.coords = jnp.asarray(coords)
         self.weights = jnp.asarray(weights)
         return self

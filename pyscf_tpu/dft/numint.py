@@ -362,7 +362,14 @@ class NumInt:
         return xc_mod.hybrid_coeff(xc_code)
 
     def rsh_coeff(self, xc_code):
-        return (0.0, 0.0, 0.0)
+        """(omega, alpha_LR, hyb_SR); reference dft/libxc.py:436."""
+        return xc_mod.rsh_coeff(xc_code)
+
+    def rsh_and_hybrid_coeff(self, xc_code, spin=0):
+        omega, alpha, hyb = xc_mod.rsh_coeff(xc_code)
+        if omega == 0:
+            hyb = xc_mod.hybrid_coeff(xc_code)
+        return omega, alpha, hyb
 
     def _xc_type(self, xc_code):
         xc = xc_mod.parse_xc(xc_code)

@@ -34,10 +34,12 @@ class RKS(KohnShamDFT, RHF):
         deriv = 1 if xc_obj.is_gga else 0
         aod, weights = self._numint.grid_ao(self.mol, self.grids, deriv)
         core = self._numint._get_rks_core_aod(self.mol, self.xc)
-        hyb = float(self._numint.hybrid_coeff(self.xc))
+        omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
         data = {'aod': aod, 'weights': weights}
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
+            if omega:
+                data['Blr'] = self._df_lr(omega).cderi
 
             def veff_fn(data, dm, co):
                 _, exc, vxc = core(data['aod'], data['weights'], dm)
@@ -46,18 +48,24 @@ class RKS(KohnShamDFT, RHF):
                 vj = jnp.einsum('p,pij->ij', rho, B)
                 e2 = 0.5 * jnp.sum(vj * dm) + exc
                 vhf = vxc + vj
-                if hyb != 0.0:
-                    Bo = jnp.einsum('pij,jo->pio', B, co)
-                    vk = hyb * jnp.einsum('pio,pjo->ij', Bo, Bo)
+
+                def kmat(Bx):
+                    Bo = jnp.einsum('pij,jo->pio', Bx, co)
+                    return jnp.einsum('pio,pjo->ij', Bo, Bo)
+
+                if hyb != 0.0 or omega:
+                    vk = hyb * kmat(B)
+                    if omega:
+                        vk = vk + (alpha - hyb) * kmat(data['Blr'])
                     vhf = vhf - 0.5 * vk
                     e2 = e2 - 0.25 * jnp.sum(vk * dm)
                 return vhf, e2
 
-            key = ('rks-df', self.xc, hyb, data['B'].shape, aod.shape)
+            key = ('rks-df', self.xc, hyb, omega, data['B'].shape, aod.shape)
             return key, veff_fn, data
-        if self._eri is None:
-            self._eri = self.mol.intor('int2e')
-        data['eri'] = self._eri
+        data['eri'] = self._get_eri()
+        if omega:
+            data['eri_lr'] = self._get_eri(omega)
 
         def veff_fn(data, dm, co):
             _, exc, vxc = core(data['aod'], data['weights'], dm)
@@ -65,13 +73,16 @@ class RKS(KohnShamDFT, RHF):
             vj = jnp.einsum('ijkl,lk->ij', eri, dm)
             e2 = 0.5 * jnp.sum(vj * dm) + exc
             vhf = vxc + vj
-            if hyb != 0.0:
+            if hyb != 0.0 or omega:
                 vk = hyb * jnp.einsum('ilkj,lk->ij', eri, dm)
+                if omega:
+                    vk = vk + (alpha - hyb) * jnp.einsum(
+                        'ilkj,lk->ij', data['eri_lr'], dm)
                 vhf = vhf - 0.5 * vk
                 e2 = e2 - 0.25 * jnp.sum(vk * dm)
             return vhf, e2
 
-        key = ('rks-eri', self.xc, hyb, data['eri'].shape, aod.shape)
+        key = ('rks-eri', self.xc, hyb, omega, data['eri'].shape, aod.shape)
         return key, veff_fn, data
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
@@ -79,8 +90,8 @@ class RKS(KohnShamDFT, RHF):
         if self.grids.coords is None:
             self.grids.build()
         n, exc, vxc = self._numint.nr_rks(mol, self.grids, self.xc, dm)
-        hyb = self._numint.hybrid_coeff(self.xc)
-        if hyb == 0.0:
+        omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
+        if hyb == 0.0 and not omega:
             vj = self.get_j(mol, dm)
             ecoul = 0.5 * float(jnp.einsum('ij,ji->', vj, dm))
             vxc = vxc + vj
@@ -88,6 +99,9 @@ class RKS(KohnShamDFT, RHF):
         else:
             vj, vk = self.get_jk(mol, dm)
             vk = vk * hyb
+            if omega:
+                vk = vk + (alpha - hyb) * self.get_jk(mol, dm, with_j=False,
+                                                      omega=omega)[1]
             ecoul = 0.5 * float(jnp.einsum('ij,ji->', vj, dm))
             ek = -0.25 * float(jnp.einsum('ij,ji->', vk, dm))
             vxc = vxc + vj - 0.5 * vk

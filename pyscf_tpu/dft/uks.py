@@ -16,27 +16,39 @@ class UKS(KohnShamDFT, UHF):
         deriv = 1 if self.xc_obj.is_gga else 0
         aod, weights = self._numint.grid_ao(self.mol, self.grids, deriv)
         core = self._numint._get_uks_core_aod(self.mol, self.xc)
-        hyb = float(self._numint.hybrid_coeff(self.xc))
+        omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
         data = {'aod': aod, 'weights': weights}
+        with_k = hyb != 0.0 or bool(omega)
 
         def jk_terms(data, dma, dmb, coa, cob):
             if 'B' in data:
                 B = data['B']
                 rho = jnp.einsum('pkl,lk->p', B, dma + dmb)
                 vj = jnp.einsum('p,pij->ij', rho, B)
-                if hyb == 0.0:
+                if not with_k:
                     return vj, None, None
-                Boa = jnp.einsum('pij,jo->pio', B, coa)
-                Bob = jnp.einsum('pij,jo->pio', B, cob)
-                vka = jnp.einsum('pio,pjo->ij', Boa, Boa)
-                vkb = jnp.einsum('pio,pjo->ij', Bob, Bob)
+
+                def kmat(Bx, co):
+                    Bo = jnp.einsum('pij,jo->pio', Bx, co)
+                    return jnp.einsum('pio,pjo->ij', Bo, Bo)
+
+                vka = hyb * kmat(B, coa)
+                vkb = hyb * kmat(B, cob)
+                if omega:
+                    Blr = data['Blr']
+                    vka = vka + (alpha - hyb) * kmat(Blr, coa)
+                    vkb = vkb + (alpha - hyb) * kmat(Blr, cob)
                 return vj, vka, vkb
             eri = data['eri']
             vj = jnp.einsum('ijkl,lk->ij', eri, dma + dmb)
-            if hyb == 0.0:
+            if not with_k:
                 return vj, None, None
-            vka = jnp.einsum('ilkj,lk->ij', eri, dma)
-            vkb = jnp.einsum('ilkj,lk->ij', eri, dmb)
+            vka = hyb * jnp.einsum('ilkj,lk->ij', eri, dma)
+            vkb = hyb * jnp.einsum('ilkj,lk->ij', eri, dmb)
+            if omega:
+                lr = data['eri_lr']
+                vka = vka + (alpha - hyb) * jnp.einsum('ilkj,lk->ij', lr, dma)
+                vkb = vkb + (alpha - hyb) * jnp.einsum('ilkj,lk->ij', lr, dmb)
             return vj, vka, vkb
 
         def veff_fn(data, dma, dmb, coa, cob):
@@ -45,20 +57,22 @@ class UKS(KohnShamDFT, UHF):
             vj, vka, vkb = jk_terms(data, dma, dmb, coa, cob)
             e2 = 0.5 * jnp.sum(vj * (dma + dmb)) + exc
             vhf = vxc + vj[None]
-            if hyb != 0.0:
-                vhf = vhf - hyb * jnp.stack([vka, vkb])
-                e2 = e2 - 0.5 * hyb * (jnp.sum(vka * dma)
-                                       + jnp.sum(vkb * dmb))
+            if with_k:
+                vhf = vhf - jnp.stack([vka, vkb])
+                e2 = e2 - 0.5 * (jnp.sum(vka * dma) + jnp.sum(vkb * dmb))
             return vhf, e2
 
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
-            key = ('uks-df', self.xc, hyb, data['B'].shape, aod.shape)
+            if omega:
+                data['Blr'] = self._df_lr(omega).cderi
+            key = ('uks-df', self.xc, hyb, omega, data['B'].shape, aod.shape)
         else:
-            if self._eri is None:
-                self._eri = self.mol.intor('int2e')
-            data['eri'] = self._eri
-            key = ('uks-eri', self.xc, hyb, data['eri'].shape, aod.shape)
+            data['eri'] = self._get_eri()
+            if omega:
+                data['eri_lr'] = self._get_eri(omega)
+            key = ('uks-eri', self.xc, hyb, omega, data['eri'].shape,
+                   aod.shape)
         return key, veff_fn, data
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
@@ -67,8 +81,8 @@ class UKS(KohnShamDFT, UHF):
         if self.grids.coords is None:
             self.grids.build()
         n, exc, vxc = self._numint.nr_uks(mol, self.grids, self.xc, dm)
-        hyb = self._numint.hybrid_coeff(self.xc)
-        if hyb == 0.0:
+        omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
+        if hyb == 0.0 and not omega:
             vj = self.get_jk(mol, dm, with_k=False)[0]
             vjt = vj[0] + vj[1]
             ecoul = 0.5 * float(jnp.einsum('ij,sji->', vjt, dm))
@@ -78,6 +92,9 @@ class UKS(KohnShamDFT, UHF):
             vj, vk = self.get_jk(mol, dm)
             vjt = vj[0] + vj[1]
             vk = vk * hyb
+            if omega:
+                vk = vk + (alpha - hyb) * self.get_jk(
+                    mol, dm, with_j=False, omega=omega)[1]
             ecoul = 0.5 * float(jnp.einsum('ij,sji->', vjt, dm))
             ek = -0.5 * float(jnp.einsum('sij,sji->', vk, dm))
             vxc = vxc + vjt[None] - vk

@@ -45,6 +45,20 @@ def _c_lyp(ra, rb, saa, sab, sbb):
     return F.lyp_c(ra, rb, saa, sab, sbb)
 
 
+def _x_pw91(ra, rb, saa, sab, sbb):
+    return F.pw91_x(ra, rb, saa, sbb)
+
+
+def _c_pw91(ra, rb, saa, sab, sbb):
+    return F.pw91_c(ra, rb, saa + 2 * sab + sbb)
+
+
+def _x_cam_b88(omega, alpha, beta):
+    def fn(ra, rb, saa, sab, sbb):
+        return F.cam_b88_x(ra, rb, saa, sbb, omega, alpha, beta)
+    return fn
+
+
 # name -> (family, fn)
 FUNCTIONALS = {
     'SLATER': (LDA, _x_slater),
@@ -62,6 +76,8 @@ FUNCTIONALS = {
     'PBE_X': (GGA, _x_pbe),
     'PBE_C': (GGA, _c_pbe),
     'LYP': (GGA, _c_lyp),
+    'PW91_X': (GGA, _x_pw91),
+    'PW91_C': (GGA, _c_pw91),
 }
 
 # compound aliases: (hyb, [(coeff, xname)], [(coeff, cname)])
@@ -80,17 +96,36 @@ COMPOUND = {
                [(0.81, 'LYP'), (0.19, 'VWN5')]),
     'B3LYPG': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
                [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
+    'PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
+    'PW91,PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
+    'XLYP': (0.0, [(-0.069, 'SLATER'), (0.722, 'B88'), (0.347, 'PW91_X')],
+             [(1.0, 'LYP')]),
     'HF': (1.0, [], []),
+}
+
+# range-separated compounds: name -> (omega, alpha_SR_HF, beta_LR_increment,
+#                                     x_terms_builder, c_terms)
+# K_eff = alpha*K_full(SR part handled as alpha) ... in reference terms:
+#   rsh_coeff = (omega, alpha + beta [LR total], alpha [SR/"hyb"])
+RSH_COMPOUND = {
+    'CAMB3LYP': (0.33, 0.19, 0.46,
+                 lambda w, a, b: [(1.0, GGA, _x_cam_b88(w, a, b))],
+                 [(0.81, 'LYP'), (0.19, 'VWN5')]),
+    'CAM_B3LYP': (0.33, 0.19, 0.46,
+                  lambda w, a, b: [(1.0, GGA, _x_cam_b88(w, a, b))],
+                  [(0.81, 'LYP'), (0.19, 'VWN5')]),
 }
 
 
 class XCFunctional:
-    def __init__(self, hyb, terms):
-        self.hyb = hyb               # HF exchange fraction
+    def __init__(self, hyb, terms, rsh=(0.0, 0.0, 0.0)):
+        self.hyb = hyb               # HF exchange fraction (SR part for RSH)
         self.terms = terms           # [(coeff, family, fn)]
         self.family = max((f for _, f, _ in terms), default=LDA)
-        # range separation (omega, alpha, beta) — 0 for global hybrids
-        self.omega = 0.0
+        # range separation (omega, alpha_LR_total, hyb_SR); reference
+        # convention (dft/libxc.py rsh_coeff): K = hyb*K + (alpha-hyb)*K_LR
+        self.rsh = rsh
+        self.omega = rsh[0]
 
     def exc_density(self, ra, rb, saa, sab, sbb):
         e = 0.0
@@ -133,6 +168,13 @@ def parse_xc(xc_code):
     if not isinstance(xc_code, str):
         raise TypeError(xc_code)
     code = xc_code.upper().replace(' ', '')
+    if code in RSH_COMPOUND:
+        omega, a, b, xbuild, cs = RSH_COMPOUND[code]
+        terms = list(xbuild(omega, a, b))
+        for c, n in cs:
+            fam, fn = FUNCTIONALS[n]
+            terms.append((c, fam, fn))
+        return XCFunctional(a, terms, rsh=(omega, a + b, a))
     if code in COMPOUND and COMPOUND[code] is not None:
         hyb, xs, cs = COMPOUND[code]
         terms = []
@@ -165,6 +207,11 @@ def parse_xc(xc_code):
 
 def hybrid_coeff(xc_code):
     return parse_xc(xc_code).hyb
+
+
+def rsh_coeff(xc_code):
+    """(omega, alpha_LR, hyb_SR) — reference dft/libxc.py:436 convention."""
+    return parse_xc(xc_code).rsh
 
 
 def is_gga(xc_code):

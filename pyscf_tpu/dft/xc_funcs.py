@@ -199,3 +199,180 @@ def lyp_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb):
         + (2.0 / 3.0 * rho * rho - ra * ra) * gbb
         + (2.0 / 3.0 * rho * rho - rb * rb) * gaa))
     return e
+
+
+# ---------------------------------------------------------------------------
+# PW91 exchange and correlation (Perdew-Wang 1991)
+# ---------------------------------------------------------------------------
+
+def pw91_x(rho_a, rho_b, sigma_aa, sigma_bb):
+    """PW91 exchange (JP Perdew et al., PRB 46, 6671 (1992))."""
+    e = 0.0
+    for r, sg in ((rho_a, sigma_aa), (rho_b, sigma_bb)):
+        r2 = jnp.maximum(2.0 * r, _TINY)
+        s2g = 4.0 * jnp.maximum(sg, _TINY)
+        kf = (3.0 * jnp.pi ** 2 * r2) ** (1.0 / 3.0)
+        s = jnp.sqrt(s2g) / (2.0 * kf * r2)
+        s2 = s * s
+        s4 = s2 * s2
+        num = (1.0 + 0.19645 * s * jnp.arcsinh(7.7956 * s)
+               + (0.2743 - 0.1508 * jnp.exp(-100.0 * s2)) * s2)
+        den = (1.0 + 0.19645 * s * jnp.arcsinh(7.7956 * s) + 0.004 * s4)
+        fx = num / den
+        e = e + 0.5 * _CX * r2 ** (4.0 / 3.0) * fx
+    return e
+
+
+def pw91_c(rho_a, rho_b, sigma):
+    """PW91 correlation (original GGA91 H0 + H1 form); sigma = |grad rho|^2."""
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-15, 1 - 1e-15)
+    eps = pw92_eps(rho_a, rho_b)
+    phi = 0.5 * ((1 + zeta) ** (2.0 / 3.0) + (1 - zeta) ** (2.0 / 3.0))
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / jnp.pi)
+    t2 = jnp.maximum(sigma, 0.0) / (2.0 * phi * ks * rho) ** 2
+    t = jnp.sqrt(t2)
+    rs = _rs(rho)
+    alpha, cc0, cx = 0.09, 0.004235, -0.001667
+    beta = 16.0 * (3.0 / jnp.pi) ** (1.0 / 3.0) / (16.0 * jnp.pi) * cc0 * 2
+    # standard constants (PW91 paper): beta = nu*cc0, nu = (16/pi)(3 pi^2)^(1/3)
+    nu = (16.0 / jnp.pi) * (3.0 * jnp.pi ** 2) ** (1.0 / 3.0)
+    beta = nu * cc0
+    A = (2.0 * alpha / beta
+         / jnp.maximum(jnp.expm1(-2.0 * alpha * eps
+                                 / (beta * beta * phi ** 3)), _TINY))
+    at2 = A * t2
+    H0 = (beta * beta * phi ** 3 / (2.0 * alpha)
+          * jnp.log1p(2.0 * alpha / beta * t2 * (1 + at2)
+                      / (1 + at2 + at2 * at2)))
+    # Cc(rs): Rasolt-Geldart parametrization used in PW91
+    cc = (2.568e-3 + 23.266e-3 * rs + 7.389e-6 * rs ** 2) / \
+         (1.0 + 8.723 * rs + 0.472 * rs ** 2 + 7.389e-2 * rs ** 3) \
+        * 1e3 / 1e3
+    ccrs = -cx + (2.568e-3 + 23.266e-3 * rs + 7.389e-6 * rs * rs) / \
+        (1.0 + 8.723 * rs + 0.472 * rs * rs + 7.389e-2 * rs ** 3) - cc0
+    H1 = (nu * (ccrs) * t2 * phi ** 3
+          * jnp.exp(-100.0 * phi ** 4 * (ks / kf) ** 2 * t2))
+    return rho * (eps + H0 + H1)
+
+
+# ---------------------------------------------------------------------------
+# Range-separated (erf) attenuated exchange: ITYH scheme
+# (Iikura, Tsuneda, Yanai, Hirao, JCP 115, 3540 (2001))
+# ---------------------------------------------------------------------------
+
+def _sr_attenuation(a):
+    """F(a): fraction of exchange surviving erfc(w r)/r attenuation.
+
+    a = w / (2 k_sigma). Stable limits: F(0)=1, F(inf)->1/(...)->0.
+    """
+    a = jnp.clip(a, 1e-10, 50.0)
+    a2 = a * a
+    # exp(-1/(4a^2)) underflows for small a -- clamp the exponent
+    expf = jnp.exp(-jnp.minimum(1.0 / (4.0 * a2), 700.0))
+    erfv = jax.scipy.special.erf(1.0 / (2.0 * a))
+    return 1.0 - (8.0 / 3.0) * a * (
+        jnp.sqrt(jnp.pi) * erfv - 3.0 * a + 4.0 * a ** 3
+        + (2.0 * a - 4.0 * a ** 3) * expf)
+
+
+def cam_b88_x(rho_a, rho_b, sigma_aa, sigma_bb, omega, alpha, beta):
+    """B88 exchange with CAM 1/r12 partitioning: the DFT part keeps
+    [1 - alpha - beta + beta*F(a_sigma)] of the full B88 energy density,
+    with a_sigma = omega / (2 k_sigma), k_sigma = (9 pi / K_sigma)^(1/2)
+    rho_sigma^(1/3) (generalized kF of the ITYH scheme). alpha/beta are
+    the CAM HF fractions (SR-HF = alpha, LR-HF = alpha + beta)."""
+    bbeta = 0.0042
+    e = 0.0
+    for r, s in ((rho_a, sigma_aa), (rho_b, sigma_bb)):
+        r_ = jnp.maximum(r, _TINY)
+        r43 = r_ ** (4.0 / 3.0)
+        x = jnp.sqrt(jnp.maximum(s, _TINY)) / r43
+        lda = -(3.0 / 2.0) * (3.0 / (4 * jnp.pi)) ** (1.0 / 3.0) * r43
+        corr = -bbeta * r43 * x * x / (1 + 6 * bbeta * x * jnp.arcsinh(x))
+        e_full = lda + corr                     # = -(1/2) r^(4/3) K
+        K = jnp.maximum(-2.0 * e_full / r43, _TINY)
+        k_sig = jnp.sqrt(9.0 * jnp.pi / K) * r_ ** (1.0 / 3.0)
+        a = omega / (2.0 * k_sig)
+        F = _sr_attenuation(a)
+        e = e + e_full * (1.0 - alpha - beta + beta * F)
+    return e
+
+
+import jax  # noqa: E402  (erf in _sr_attenuation)
+
+
+# ---------------------------------------------------------------------------
+# TPSS meta-GGA (Tao, Perdew, Staroverov, Scuseria, PRL 91, 146401 (2003))
+# ---------------------------------------------------------------------------
+
+def _tpss_fx(n, sig, tau):
+    """TPSS exchange enhancement for one spin-scaled density n (=2 rho_s)."""
+    n = jnp.maximum(n, _TINY)
+    sig = jnp.maximum(sig, _TINY)
+    tau = jnp.maximum(tau, _TINY)
+    kf2 = (3.0 * jnp.pi ** 2 * n) ** (2.0 / 3.0)
+    p = sig / (4.0 * kf2 * n * n)
+    tau_w = sig / (8.0 * n)
+    tau_u = 0.3 * kf2 * n
+    z = jnp.clip(tau_w / tau, 0.0, 1.0)
+    alpha = jnp.maximum((tau - tau_w) / tau_u, 0.0)
+    b = 0.40
+    qb = 0.45 * (alpha - 1.0) / jnp.sqrt(1.0 + b * alpha * (alpha - 1.0)) \
+        + 2.0 * p / 3.0
+    kappa, mu, c, e = 0.804, 0.21951, 1.59096, 1.537
+    z2 = z * z
+    t1 = (10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
+    t2 = (146.0 / 2025.0) * qb * qb
+    t3 = -(73.0 / 405.0) * qb * jnp.sqrt(0.5 * (0.6 * z) ** 2 + 0.5 * p * p)
+    t4 = (1.0 / kappa) * (10.0 / 81.0) ** 2 * p * p
+    t5 = 2.0 * jnp.sqrt(e) * (10.0 / 81.0) * (0.6 * z) ** 2
+    t6 = e * mu * p ** 3
+    x = (t1 + t2 + t3 + t4 + t5 + t6) / (1.0 + jnp.sqrt(e) * p) ** 2
+    return 1.0 + kappa - kappa / (1.0 + x / kappa)
+
+
+def tpss_x(rho_a, rho_b, sigma_aa, sigma_bb, tau_a, tau_b):
+    e = 0.0
+    for r, s, t in ((rho_a, sigma_aa, tau_a), (rho_b, sigma_bb, tau_b)):
+        n = jnp.maximum(2.0 * r, _TINY)
+        fx = _tpss_fx(n, 4.0 * s, 2.0 * t)
+        e = e + 0.5 * _CX * n ** (4.0 / 3.0) * fx
+    return e
+
+
+def _pbe_eps(rho_a, rho_b, sigma):
+    """PBE correlation energy PER PARTICLE (eps, not density)."""
+    return pbe_c(rho_a, rho_b, sigma) / jnp.maximum(rho_a + rho_b, _TINY)
+
+
+def tpss_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
+    """TPSS correlation (revPKZB-based)."""
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    ra = jnp.maximum(rho_a, _TINY)
+    rb = jnp.maximum(rho_b, _TINY)
+    sigma = jnp.maximum(sigma_aa + 2.0 * sigma_ab + sigma_bb, _TINY)
+    tau = jnp.maximum(tau_a + tau_b, _TINY)
+    tau_w = sigma / (8.0 * rho)
+    z = jnp.clip(tau_w / tau, 0.0, 1.0)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-12, 1 - 1e-12)
+    # |grad zeta|^2 from the spin sigmas
+    gz2 = jnp.maximum(
+        (4.0 * (rb * rb * sigma_aa - 2.0 * ra * rb * sigma_ab
+                + ra * ra * sigma_bb)) / rho ** 4, 0.0)
+    xi2 = gz2 / (4.0 * (3.0 * jnp.pi ** 2 * rho) ** (2.0 / 3.0))
+    Cz = (0.53 + 0.87 * zeta ** 2 + 0.50 * zeta ** 4 + 2.26 * zeta ** 6) \
+        / (1.0 + xi2 * ((1.0 + zeta) ** (-4.0 / 3.0)
+                        + (1.0 - zeta) ** (-4.0 / 3.0)) / 2.0) ** 4
+    eps_pbe = _pbe_eps(rho_a, rho_b, sigma)
+    # per-spin "tilde" eps: PBE with only one spin density present
+    eps_a = _pbe_eps(ra, jnp.zeros_like(ra) + _TINY, sigma_aa)
+    eps_b = _pbe_eps(rb, jnp.zeros_like(rb) + _TINY, sigma_bb)
+    eps_a = jnp.maximum(eps_a, eps_pbe)
+    eps_b = jnp.maximum(eps_b, eps_pbe)
+    z2 = z * z
+    eps_rev = eps_pbe * (1.0 + Cz * z2) \
+        - (1.0 + Cz) * z2 * (ra / rho * eps_a + rb / rho * eps_b)
+    d = 2.8
+    return rho * eps_rev * (1.0 + d * eps_rev * z2 * z)

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 from functools import partial
 
-_TCRIT = 35.0
-_NTERMS = 140  # series terms; converges to <1e-17 for T<35 (term ratio 2T/(2M+2k+3))
+_TCRIT = 18.0
+_NTERMS = 72   # series terms: (2*18)^k/(2k+3)!! < 1e-15 by k~65; the upward
+               # branch is stable for T > TCRIT while m <= ~T-1 (amplification
+               # (2m+1)/(2T) < 1), true for every kernel here (m <= 10)
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -124,20 +124,29 @@ def _comb_onehot3(L1, L2):
     return W
 
 
-def _eri_core(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
+def _eri_core(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2, rs_omega=None):
     """ERI between two batches of Hermite pair data (traceable core).
 
     p1 (C1,), P1 (C1,3), E1 (C1, nc1, nt1); same for 2.
     Returns (C1, nc1, C2, nc2). Contraction is ordered so the largest
     intermediate is (C1, C2, nc2*nt1): one big MXU matmul over ntuv(L).
+
+    rs_omega: if set, evaluates the LONG-RANGE erf(w r12)/r12 attenuated
+    integrals instead of 1/r12: with theta = w^2/(w^2 + rho) the R table
+    becomes sqrt(theta) * R(rho*theta, PQ) (reference libcint
+    WITH_RANGE_COULOMB path; SR integrals = full - LR).
     """
     pp = p1[:, None] * p2[None, :]
     ps = p1[:, None] + p2[None, :]
     omega = pp / ps
+    pref = 2.0 * jnp.pi ** 2.5 / (pp * jnp.sqrt(ps))
+    if rs_omega is not None:
+        theta = rs_omega ** 2 / (rs_omega ** 2 + omega)
+        omega = omega * theta
+        pref = pref * jnp.sqrt(theta)
     rpq = P1[:, None, :] - P2[None, :, :]
     L = L1 + L2
     R = hermite_R(L, omega, rpq)                      # (C1, C2, ntuv(L))
-    pref = 2.0 * jnp.pi ** 2.5 / (pp * jnp.sqrt(ps))
     R = R * pref[..., None]
     W3 = jnp.asarray(_comb_onehot3(L1, L2))           # (nt1, nt2, ntL)
     # fold ket E and the tuv-combination into one ket-side factor
@@ -157,7 +166,7 @@ def _eri_core(L1, L2, nt1, nt2, p1, P1, E1, p2, P2, E2):
 _eri_chunk = partial(jax.jit, static_argnums=(0, 1, 2, 3))(_eri_core)
 
 
-def _class_pair_block(pc1, pc2):
+def _class_pair_block(pc1, pc2, rs_omega=None):
     """Full (m1-chunked) x (m2-chunked) ERI for two pair classes.
 
     Returns numpy (nsa,nsb,nca*ncb, nsc,nsd,ncc*ncd) with prim sums done.
@@ -170,7 +179,8 @@ def _class_pair_block(pc1, pc2):
     for i in range(pc1.nchunk):
         row = []
         for j in range(pc2.nchunk):
-            blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt, *d1[i], *d2[j])
+            blk = _eri_chunk(L1, L2, pc1.nt, pc2.nt, *d1[i], *d2[j],
+                             rs_omega=rs_omega)
             row.append(np.asarray(blk))
         row = np.concatenate(row, axis=2) if len(row) > 1 else row[0]
         acc = row if acc is None else np.concatenate([acc, row], axis=0)
@@ -187,8 +197,10 @@ def _sph(l):
 
 
 @on_integral_device
-def int2e(mol):
-    """Full (nao,)*4 ERI tensor in chemists' notation, host-assembled."""
+def int2e(mol, omega=None):
+    """Full (nao,)*4 ERI tensor in chemists' notation, host-assembled.
+
+    omega: long-range erf(w r)/r attenuation (None = full Coulomb)."""
     nao = mol.nao
     out = np.zeros((nao, nao, nao, nao))
     ls = sorted(mol.shell_groups.keys())
@@ -200,7 +212,7 @@ def int2e(mol):
         nca, ncb = len(cart_components(la)), len(cart_components(lb))
         for (lc, ld), pc2 in pcs.items():
             ncc, ncd = len(cart_components(lc)), len(cart_components(ld))
-            blk = _class_pair_block(pc1, pc2)
+            blk = _class_pair_block(pc1, pc2, rs_omega=omega)
             nsa, nsb, nsc, nsd = (pc1.ga.nshl, pc1.gb.nshl,
                                   pc2.ga.nshl, pc2.gb.nshl)
             blk = blk.reshape(nsa, nsb, nca, ncb, nsc, nsd, ncc, ncd)
@@ -399,8 +411,9 @@ class AuxBlock:
         self.nt = self.E.shape[2]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
-def _j3c_scan(L1, L2, nt1, nt2, KK1, KK2, p1, P1, E1, p2, P2, E2):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 12))
+def _j3c_scan(L1, L2, nt1, nt2, KK1, KK2, p1, P1, E1, p2, P2, E2,
+              rs_omega=None):
     """Scan bra pair chunks against a full ket block; prim sums on device.
 
     p1 (nchunk, C1), E1 (nchunk, C1, nc1, nt1) with C1 = npair*KK1;
@@ -415,7 +428,8 @@ def _j3c_scan(L1, L2, nt1, nt2, KK1, KK2, p1, P1, E1, p2, P2, E2):
 
     def body(carry, ch):
         p, P, E = ch
-        out = _eri_core(L1, L2, nt1, nt2, p, P, E, p2, P2, E2)
+        out = _eri_core(L1, L2, nt1, nt2, p, P, E, p2, P2, E2,
+                        rs_omega=rs_omega)
         out = out.reshape(npair, KK1, nc1, nsx, KK2, nc2).sum(axis=(1, 4))
         return carry, out
 
@@ -431,7 +445,7 @@ def _scan_groups(sp, ab, max_elems=int(2e8)):
     return min(g, sp.nchunk)
 
 
-def _j3c_class(sp, ab):
+def _j3c_class(sp, ab, rs_omega=None):
     """(screened pair class | aux class) -> numpy (nsel, nc1, nsx, nc2)."""
     L1 = sp.la + sp.lb
     g = _scan_groups(sp, ab)
@@ -440,7 +454,7 @@ def _j3c_class(sp, ab):
         i1 = min(i0 + g, sp.nchunk)
         ys = _j3c_scan(L1, ab.l, sp.nt, ab.nt, sp.KK, ab.KK,
                        sp.p[i0:i1], sp.P[i0:i1], sp.E[i0:i1],
-                       ab.p, ab.P, ab.E)
+                       ab.p, ab.P, ab.E, rs_omega)
         outs.append(np.asarray(ys))
     ys = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     ys = ys.reshape(sp.npad, sp.nc, ab.nsx_pad, ab.nc)
@@ -448,11 +462,12 @@ def _j3c_class(sp, ab):
 
 
 @on_integral_device
-def int3c2e(mol, auxmol):
+def int3c2e(mol, auxmol, omega=None):
     """(mu nu | P) three-center two-electron integrals, (nao, nao, naux).
 
     Screened shell pairs, one scan dispatch per (pair-class, aux-class)
-    block (reference: libcint int3c2e driven by pyscf/df/incore.py:40)."""
+    block (reference: libcint int3c2e driven by pyscf/df/incore.py:40).
+    omega: long-range erf attenuation (RSH exchange fitting)."""
     nao, naux = mol.nao, auxmol.nao
     out = np.zeros((nao, nao, naux))
     ls = sorted(mol.shell_groups.keys())
@@ -471,7 +486,7 @@ def int3c2e(mol, auxmol):
             ia = sp.ga.ao_off[sp.sel_a][:, None] + np.arange(da)
             jb = sp.gb.ao_off[sp.sel_b][:, None] + np.arange(db)
             for lx, ab in aux_blocks.items():
-                vals = _j3c_class(sp, ab)
+                vals = _j3c_class(sp, ab, rs_omega=omega)
                 vals = vals.reshape(sp.nsel, nca, ncb, ab.nsx, ab.nc)
                 vals = np.einsum('mp,nq,er,spqxr->smnxe', Sa, Sb, _sph(lx),
                                  vals, optimize=True)
@@ -488,7 +503,7 @@ def int3c2e(mol, auxmol):
 
 
 @on_integral_device
-def int2c2e(mol):
+def int2c2e(mol, omega=None):
     """(P|Q) two-center two-electron integrals over mol's shells.
 
     One full-block kernel call per (lx, ly) class pair (the aux basis is
@@ -500,7 +515,7 @@ def int2c2e(mol):
         ix = ax.g.ao_off[:, None] + np.arange(2 * lx + 1)
         for ly, ay in blocks.items():
             blk = _eri_chunk(lx, ly, ax.nt, ay.nt, ax.p, ax.P, ax.E,
-                             ay.p, ay.P, ay.E)
+                             ay.p, ay.P, ay.E, rs_omega=omega)
             blk = np.asarray(blk).reshape(ax.nsx_pad, ax.KK, ax.nc,
                                           ay.nsx_pad, ay.KK, ay.nc)
             blk = blk.sum(axis=(1, 4))[:ax.nsx, :, :ay.nsx, :]

@@ -83,7 +83,7 @@ def build_restricted_program(nocc, diis_space, veff_fn):
                * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
 
         def body(st):
-            cyc, done, e_prev, co, moe, moc, fh, eh = st
+            cyc, done, e_prev, co, f_last, fh, eh = st
             dm = co @ co.T
             vhf, e2 = veff_fn(veff_data, dm, co)
             f = h1e + vhf
@@ -94,28 +94,26 @@ def build_restricted_program(nocc, diis_space, veff_fn):
             fh = fh.at[idx].set(f)
             eh = eh.at[idx].set(err)
             f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, space))
-            moe_n, moc_n = eigh_gen(f_d, x)
+            _, moc_n = eigh_gen(f_d, x)
             co_n = moc_n[:, :nocc] * jnp.sqrt(2.0)
             gnorm = jnp.linalg.norm(x.T @ err @ x)
             de = jnp.abs(e_elec - e_prev)
             done = (de < conv_tol) & (gnorm < conv_tol_grad)
-            return (cyc + 1, done, e_elec, co_n, moe_n, moc_n, fh, eh)
+            return (cyc + 1, done, e_elec, co_n, f, fh, eh)
 
         def cond(st):
             return (~st[1]) & (st[0] < max_cycle)
 
         dt = h1e.dtype
         init = (jnp.int32(0), jnp.bool_(False), jnp.asarray(0.0, dt), co0,
-                jnp.zeros(nao, dt), jnp.zeros((nao, nao), dt),
+                jnp.zeros((nao, nao), dt),
                 jnp.zeros((space, nao, nao), dt),
                 jnp.zeros((space, nao, nao), dt))
-        cyc, done, _, co, _, _, _, _ = jax.lax.while_loop(cond, body, init)
-        # extra diagonalization of the TRUE (un-extrapolated) Fock for
-        # canonical mo_energy/mo_coeff (reference scf/hf.py:214-243), then
-        # a final energy consistent with that density
-        dm = co @ co.T
-        vhf, _ = veff_fn(veff_data, dm, co)
-        moe, moc = eigh_gen(h1e + vhf, x)
+        cyc, done, _, _, f_last, _, _ = jax.lax.while_loop(cond, body, init)
+        # extra diagonalization of the TRUE (un-extrapolated) converged Fock
+        # for canonical mo_energy/mo_coeff (reference scf/hf.py:214-243),
+        # then one final energy consistent with that density
+        moe, moc = eigh_gen(f_last, x)
         co = moc[:, :nocc] * jnp.sqrt(2.0)
         dm = co @ co.T
         vhf, e2 = veff_fn(veff_data, dm, co)

@@ -105,18 +105,44 @@ class SCF:
         mol = mol or self.mol
         if self.with_df is not None:
             from ..df.df_jk import get_jk as df_get_jk
+            dfobj = self.with_df if not omega else self._df_lr(abs(omega))
             co = None
             if getattr(self, '_co_dm', None) is dm:
                 co = self._co_scaled
-            return df_get_jk(self.with_df, dm, with_j=with_j, with_k=with_k,
+            return df_get_jk(dfobj, dm, with_j=with_j, with_k=with_k,
                              mo_coeff_occ=co)
-        if self._eri is None:
-            self._eri = mol.intor('int2e')
+        eri = self._get_eri(omega)
         dm = jnp.asarray(dm)
         if dm.ndim == 2:
-            return dot_eri_dm(self._eri, dm)
-        vj, vk = zip(*[dot_eri_dm(self._eri, d) for d in dm])
+            return dot_eri_dm(eri, dm)
+        vj, vk = zip(*[dot_eri_dm(eri, d) for d in dm])
         return jnp.stack(vj), jnp.stack(vk)
+
+    def _get_eri(self, omega=None):
+        """Full in-core ERI; omega selects the erf(w r)/r long-range set."""
+        if not omega:
+            if self._eri is None:
+                self._eri = self.mol.intor('int2e')
+            return self._eri
+        cache = getattr(self, '_eri_lr', None)
+        if cache is None:
+            cache = self._eri_lr = {}
+        w = abs(omega)
+        if w not in cache:
+            from ..ops.integrals.int2e import int2e
+            cache[w] = int2e(self.mol, omega=w)
+        return cache[w]
+
+    def _df_lr(self, omega):
+        """DF factor with the erf(w r)/r metric (RSH long-range K)."""
+        cache = getattr(self, '_df_lr_cache', None)
+        if cache is None:
+            cache = self._df_lr_cache = {}
+        if omega not in cache:
+            from ..df.df import DF
+            cache[omega] = DF(self.mol, self.with_df.auxbasis,
+                              omega=omega).build()
+        return cache[omega]
 
     def _stash_occ_orbitals(self, mo_coeff, mo_occ):
         """Cache sqrt(occ)-scaled occupied orbitals for fast DF-K."""
