@@ -94,15 +94,20 @@ class NumInt:
         if key in self._cache:
             return self._cache[key]
         xc = xc_mod.parse_xc(xc_code)
-        deriv = 1 if xc.is_gga else 0
+        mgga = xc.is_mgga
+        deriv = 1 if (xc.is_gga or mgga) else 0
 
-        def edens_closed(rho, sigma):
+        def edens_closed(rho, sigma, tau):
             ra = 0.5 * rho
             s4 = 0.25 * sigma
+            if mgga:
+                return xc.exc_density(ra, ra, s4, s4, s4, 0.5 * tau,
+                                      0.5 * tau)
             return xc.exc_density(ra, ra, s4, s4, s4)
 
         exc_grad = jax.grad(
-            lambda r, s: jnp.sum(edens_closed(r, s)), argnums=(0, 1))
+            lambda r, s, t: jnp.sum(edens_closed(r, s, t)),
+            argnums=(0, 1, 2))
 
         def run(aod_blocks, weights, dm):
             def block(carry, xw):
@@ -116,13 +121,20 @@ class NumInt:
                 rho = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
                 if deriv == 0:
                     sigma = jnp.zeros_like(rho)
+                    tau = jnp.zeros_like(rho)
                 else:
                     grho = 2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
                     sigma = jnp.einsum('db,db->b', grho, grho)
+                    if mgga:
+                        dmaod = jnp.einsum('dbi,ij->dbj', aod[1:], dm)
+                        tau = 0.5 * jnp.einsum('dbi,dbi->b', dmaod, aod[1:])
+                    else:
+                        tau = jnp.zeros_like(rho)
                 mask, rho_s, sigma_s = _masked(rho, sigma)
+                tau_s = jnp.where(mask, jnp.maximum(tau, 1e-20), 1.0)
                 e_blk = jnp.sum(jnp.where(
-                    mask, w * edens_closed(rho_s, sigma_s), 0.0))
-                vrho, vsigma = exc_grad(rho_s, sigma_s)
+                    mask, w * edens_closed(rho_s, sigma_s, tau_s), 0.0))
+                vrho, vsigma, vtau = exc_grad(rho_s, sigma_s, tau_s)
                 wv = jnp.where(mask, w * vrho, 0.0)
                 if deriv == 0:
                     v_blk = jnp.einsum('b,bi,bj->ij', 0.5 * wv, ao, ao)
@@ -132,6 +144,10 @@ class NumInt:
                         + 2.0 * jnp.einsum('b,db,dbi->bi', wvs, grho,
                                            aod[1:])
                     v_blk = ao.T @ vtmp
+                    if mgga:
+                        wvt = jnp.where(mask, w * vtau, 0.0)
+                        v_blk = v_blk + 0.25 * jnp.einsum(
+                            'dbi,b,dbj->ij', aod[1:], wvt, aod[1:])
                 n_blk = jnp.sum(w * rho)
                 return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
 
@@ -221,26 +237,36 @@ class NumInt:
         if key in self._cache:
             return self._cache[key]
         xc = xc_mod.parse_xc(xc_code)
-        deriv = 1 if xc.is_gga else 0
+        mgga = xc.is_mgga
+        deriv = 1 if (xc.is_gga or mgga) else 0
 
-        def esum(ra, rb, saa, sab, sbb):
-            return jnp.sum(xc.exc_density(ra, rb, saa, sab, sbb))
+        def edens(ra, rb, saa, sab, sbb, ta, tb):
+            if mgga:
+                return xc.exc_density(ra, rb, saa, sab, sbb, ta, tb)
+            return xc.exc_density(ra, rb, saa, sab, sbb)
 
-        exc_grad = jax.grad(esum, argnums=(0, 1, 2, 3, 4))
+        exc_grad = jax.grad(
+            lambda *a: jnp.sum(edens(*a)), argnums=(0, 1, 2, 3, 4, 5, 6))
 
         def run(aod_blocks, weights, dm):
             def block(carry, xw):
                 n_acc, e_acc, v_acc = carry
                 aod, w = xw
                 ao = aod if deriv == 0 else aod[0]
-                rhos, grhos = [], []
+                rhos, grhos, taus = [], [], []
                 for s in range(2):
                     dmao = ao @ dm[s]
                     r = jnp.maximum(jnp.einsum('bi,bi->b', dmao, ao), 0.0)
                     g = (2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
                          if deriv else jnp.zeros((3,) + r.shape))
+                    if mgga:
+                        dmaod = jnp.einsum('dbi,ij->dbj', aod[1:], dm[s])
+                        t = 0.5 * jnp.einsum('dbi,dbi->b', dmaod, aod[1:])
+                    else:
+                        t = jnp.zeros_like(r)
                     rhos.append(r)
                     grhos.append(g)
+                    taus.append(t)
                 ra, rb = rhos
                 saa = jnp.einsum('db,db->b', grhos[0], grhos[0])
                 sab = jnp.einsum('db,db->b', grhos[0], grhos[1])
@@ -251,17 +277,20 @@ class NumInt:
                 saas = sf(saa, SIGMA_FLOOR)
                 sabs = sf(sab, -jnp.inf)
                 sbbs = sf(sbb, SIGMA_FLOOR)
+                tas = sf(taus[0], 1e-20)
+                tbs = sf(taus[1], 1e-20)
                 e_blk = jnp.sum(jnp.where(
-                    mask, w * xc.exc_density(ras, rbs, saas, sabs, sbbs),
+                    mask, w * edens(ras, rbs, saas, sabs, sbbs, tas, tbs),
                     0.0))
-                vra, vrb, vsaa, vsab, vsbb = exc_grad(ras, rbs, saas, sabs,
-                                                      sbbs)
+                vra, vrb, vsaa, vsab, vsbb, vta, vtb = exc_grad(
+                    ras, rbs, saas, sabs, sbbs, tas, tbs)
                 vs = []
-                for vr, vss, vsx, go, gx in (
-                        (vra, vsaa, vsab, grhos[0], grhos[1]),
-                        (vrb, vsbb, vsab, grhos[1], grhos[0])):
+                for vr, vss, vsx, vt, go, gx in (
+                        (vra, vsaa, vsab, vta, grhos[0], grhos[1]),
+                        (vrb, vsbb, vsab, vtb, grhos[1], grhos[0])):
                     wv = jnp.where(mask, w * vr, 0.0)
                     vtmp = 0.5 * wv[:, None] * ao
+                    vb = None
                     if deriv:
                         wvss = jnp.where(mask, w * vss, 0.0)
                         wvsx = jnp.where(mask, w * vsx, 0.0)
@@ -269,7 +298,12 @@ class NumInt:
                             + 2.0 * jnp.einsum('b,db,dbi->bi', wvss, go,
                                                aod[1:]) \
                             + jnp.einsum('b,db,dbi->bi', wvsx, gx, aod[1:])
-                    vs.append(ao.T @ vtmp)
+                    vb = ao.T @ vtmp
+                    if mgga:
+                        wvt = jnp.where(mask, w * vt, 0.0)
+                        vb = vb + 0.25 * jnp.einsum(
+                            'dbi,b,dbj->ij', aod[1:], wvt, aod[1:])
+                    vs.append(vb)
                 v_blk = jnp.stack(vs)
                 n_blk = jnp.stack([jnp.sum(w * ra), jnp.sum(w * rb)])
                 return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None

@@ -59,6 +59,14 @@ def _x_cam_b88(omega, alpha, beta):
     return fn
 
 
+def _x_tpss(ra, rb, saa, sab, sbb, ta, tb):
+    return F.tpss_x(ra, rb, saa, sbb, ta, tb)
+
+
+def _c_tpss(ra, rb, saa, sab, sbb, ta, tb):
+    return F.tpss_c(ra, rb, saa, sab, sbb, ta, tb)
+
+
 # name -> (family, fn)
 FUNCTIONALS = {
     'SLATER': (LDA, _x_slater),
@@ -78,6 +86,8 @@ FUNCTIONALS = {
     'LYP': (GGA, _c_lyp),
     'PW91_X': (GGA, _x_pw91),
     'PW91_C': (GGA, _c_pw91),
+    'TPSS_X': (MGGA, _x_tpss),
+    'TPSS_C': (MGGA, _c_tpss),
 }
 
 # compound aliases: (hyb, [(coeff, xname)], [(coeff, cname)])
@@ -97,6 +107,7 @@ COMPOUND = {
     'B3LYPG': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
                [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
     'PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
+    'TPSS': (0.0, [(1.0, 'TPSS_X')], [(1.0, 'TPSS_C')]),
     'PW91,PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
     'XLYP': (0.0, [(-0.069, 'SLATER'), (0.722, 'B88'), (0.347, 'PW91_X')],
              [(1.0, 'LYP')]),
@@ -127,10 +138,13 @@ class XCFunctional:
         self.rsh = rsh
         self.omega = rsh[0]
 
-    def exc_density(self, ra, rb, saa, sab, sbb):
+    def exc_density(self, ra, rb, saa, sab, sbb, ta=None, tb=None):
         e = 0.0
         for c, fam, fn in self.terms:
-            e = e + c * fn(ra, rb, saa, sab, sbb)
+            if fam == MGGA:
+                e = e + c * fn(ra, rb, saa, sab, sbb, ta, tb)
+            else:
+                e = e + c * fn(ra, rb, saa, sab, sbb)
         return e
 
     @property
@@ -140,6 +154,10 @@ class XCFunctional:
     @property
     def is_gga(self):
         return self.family >= GGA
+
+    @property
+    def is_mgga(self):
+        return self.family >= MGGA
 
     @property
     def is_lda(self):

@@ -101,3 +101,31 @@ def test_grid_nelec(he):
     from pyscf_tpu.dft.numint import NumInt
     n, exc, v = NumInt().nr_rks(he, mf.grids, 'lda,vwn', mf.make_rdm1())
     assert abs(n - 2.0) < 1e-8
+
+
+@pytest.mark.slow
+def test_he_camb3lyp_golden():
+    """Range-separated hybrid vs reference golden (dft/test/test_he.py:87)."""
+    mol = pt.M(atom='He 0 0 0', basis='cc-pvdz', verbose=0)
+    e = pt.dft.RKS(mol, xc='camb3lyp').kernel()
+    assert abs(e - (-2.89299475730048)) < 1e-7
+    eu = pt.dft.UKS(mol, xc='camb3lyp').kernel()
+    assert abs(eu - e) < 1e-9
+
+
+@pytest.mark.slow
+def test_he_gga_goldens():
+    """PW91 and XLYP vs reference goldens (dft/test/test_he.py:67,77)."""
+    mol = pt.M(atom='He 0 0 0', basis='cc-pvdz', verbose=0)
+    e = pt.dft.RKS(mol, xc='pw91,pw91').kernel()
+    assert abs(e - (-2.8914066724838849)) < 5e-7
+    e = pt.dft.RKS(mol, xc='xlyp').kernel()
+    assert abs(e - (-2.9045738259332161)) < 1e-7
+
+
+def test_tpss_consistency():
+    """meta-GGA: RKS == UKS for closed shell; H atom near-exact."""
+    mol = pt.M(atom='He 0 0 0', basis='sto-3g', verbose=0)
+    er = pt.dft.RKS(mol, xc='tpss').kernel()
+    eu = pt.dft.UKS(mol, xc='tpss').kernel()
+    assert abs(er - eu) < 1e-10
