@@ -46,7 +46,7 @@ class DIIS:
         if n < self.min_space + 1:
             return x
         E = np.stack(self._err)                       # (n, m)
-        B = E @ E.T                                   # small, host-side
+        B = (E @ E.conj().T).real                     # small, host-side
         H = np.empty((n + 1, n + 1))
         H[:n, :n] = B
         H[n, :n] = H[:n, n] = -1.0

@@ -100,6 +100,77 @@ def _gth_projectors(cell, coords):
     return blocks
 
 
+
+
+def _gth_proj_combination(l, i):
+    """Expansion of r^(2(i-1)) * (solid harmonic Y_lm) in cartesian
+    monomials of degree l + 2(i-1): returns (nc_hi, 2l+1) matrix W with
+    r^(2k) Y_lm = sum_c W[c, m] x^c. Exact (replaces the finite-difference
+    d/dalpha trick: reference computes these in C, pyscf/pbc/gto/pseudo)."""
+    import math
+    from ...ops.integrals.cart2sph import cart2sph
+    from ...ops.integrals.hermite import cart_components
+    S = np.asarray(cart2sph(l))           # (2l+1, nc_l)
+    k = i - 1
+    ldeg = l + 2 * k
+    hi = {c: idx for idx, c in enumerate(cart_components(ldeg))}
+    W = np.zeros((len(hi), 2 * l + 1))
+    carts_l = cart_components(l)
+    for (kx, ky, kz) in [(a, b, k - a - b) for a in range(k + 1)
+                         for b in range(k - a + 1)]:
+        mult = math.factorial(k) // (math.factorial(kx) * math.factorial(ky)
+                                     * math.factorial(kz))
+        for ci, c in enumerate(carts_l):
+            tgt = (c[0] + 2 * kx, c[1] + 2 * ky, c[2] + 2 * kz)
+            W[hi[tgt], :] += mult * S[:, ci]
+    return W
+
+
+def _proj_ovlp_images(cell, l, i, rl, center, Ls):
+    """<AO_mu | p_i^l at center+L> for every image L: (nL, nao, 2l+1).
+
+    Exact analytic overlaps: the projector is a single unnormalized
+    primitive e^(-r^2/(2 rl^2)) times the W-combination of degree
+    l+2(i-1) cartesian monomials."""
+    import math
+    from scipy.special import gamma as _gamma
+    from ...ops.integrals.int1e import ovlp_chunk
+    from ...ops.integrals.cart2sph import cart2sph
+    from ...ops.integrals.hermite import cart_components
+    alpha = 0.5 / rl ** 2
+    k = i - 1
+    ldeg = l + 2 * k
+    W = _gth_proj_combination(l, i)
+    Ngth = math.sqrt(2.0) / (
+        rl ** (l + (4.0 * i - 1.0) / 2.0)
+        * math.sqrt(_gamma(l + (4.0 * i - 1.0) / 2.0)))
+    nL = len(Ls)
+    nao = cell.nao
+    out = np.zeros((nL, nao, 2 * l + 1))
+    centers = np.asarray(center)[None, :] + np.asarray(Ls)   # (nL, 3)
+    for la, ga in cell.shell_groups.items():
+        nsa, Ka = ga.exps.shape
+        m = nsa * Ka * nL
+        a = np.broadcast_to(ga.exps[:, :, None], (nsa, Ka, nL)).reshape(m)
+        b = np.full(m, alpha)
+        A = np.broadcast_to(ga.coords[:, None, None, :],
+                            (nsa, Ka, nL, 3)).reshape(m, 3)
+        B = np.broadcast_to(centers[None, None, :, :],
+                            (nsa, Ka, nL, 3)).reshape(m, 3)
+        w = np.broadcast_to(ga.coeffs[:, :, None], (nsa, Ka, nL)).reshape(m)
+        blk = np.asarray(ovlp_chunk(la, ldeg, jnp.asarray(a),
+                                    jnp.asarray(b), jnp.asarray(A),
+                                    jnp.asarray(B), jnp.asarray(w)))
+        blk = blk.reshape(nsa, Ka, nL, blk.shape[1], blk.shape[2]).sum(axis=1)
+        Sa = np.asarray(cart2sph(la))
+        # (nsa, nL, 2la+1, 2l+1)
+        v = np.einsum('mp,axpq,qn->axmn', Sa, blk, W, optimize=True)
+        ia = (ga.ao_off[:, None] + np.arange(2 * la + 1))
+        for s in range(nsa):
+            out[:, ia[s], :] += v[s]
+    return Ngth * out
+
+
 class FFTDF:
     def __init__(self, cell, kpts=None):
         self.cell = cell
@@ -166,33 +237,12 @@ class FFTDF:
         return jnp.asarray(vpp)
 
     def get_pp_nl(self):
-        """Nonlocal GTH part via analytic lattice-summed projector overlaps.
-
-        <mu|p_i^lm>: the i=1 projector is a plain Gaussian shell; i>=2 carry
-        r^(2(i-1)) prefactors obtained by -d/dalpha of the analytic overlap
-        (central finite difference in the exponent).
-        """
-        import math
-        from scipy.special import gamma as _gamma
-        from ...gto.mole import Mole, gto_norm
-        from ...ops.integrals.int1e import int1e_ovlp_cross
+        """Nonlocal GTH part via exact analytic lattice-summed projector
+        overlaps (see _proj_ovlp_images)."""
         cell = self.cell
         nao = cell.nao
         vnl = np.zeros((nao, nao))
-        Ls = cell.get_lattice_Ls(min(cell.rcut, 10.0))
-
-        def proj_ovlp(l, alpha, center):
-            """Lattice-summed <mu|[normalized single-prim shell]>, (nao, 2l+1)."""
-            out = None
-            for L in Ls:
-                pm = Mole(atom=[('X', center + L)],
-                          basis={'X': [[l, [alpha, 1.0]]]}, unit='bohr',
-                          verbose=0)
-                pm.build()
-                v = np.asarray(int1e_ovlp_cross(cell, pm))
-                out = v if out is None else out + v
-            return out
-
+        Ls = np.asarray(cell.get_lattice_Ls())
         for ia, symb in enumerate(cell.elements_):
             pp = cell._pseudo[symb]
             R = np.asarray(cell.coords[ia])
@@ -200,29 +250,10 @@ class FFTDF:
                 h = np.asarray(ch['h'])
                 if h.size == 0:
                     continue
-                rl = ch['rl']
-                alpha = 0.5 / rl ** 2
                 ni = h.shape[0]
-                P = []
-                for i in range(1, ni + 1):
-                    Ngth = math.sqrt(2.0) / (
-                        rl ** (l + (4.0 * i - 1.0) / 2.0)
-                        * math.sqrt(_gamma(l + (4.0 * i - 1.0) / 2.0)))
-                    if i == 1:
-                        ov = proj_ovlp(l, alpha, R) / gto_norm(l, alpha)
-                        P.append(Ngth * ov)
-                    else:
-                        # r^(2(i-1)) e^(-a r^2) = (-d/da)^(i-1) e^(-a r^2)
-                        k = i - 1
-                        hstep = alpha * 1e-4
-                        pts = [alpha + (j - k) * hstep
-                               for j in range(2 * k + 1)]
-                        vals = [proj_ovlp(l, a_, R) / gto_norm(l, a_)
-                                for a_ in pts]
-                        # central fd for k-th derivative
-                        coef = _fd_coeffs(k, 2 * k + 1, hstep)
-                        ov = sum(c * v for c, v in zip(coef, vals))
-                        P.append(((-1.0) ** k) * Ngth * ov)
+                P = [_proj_ovlp_images(cell, l, i, ch['rl'], R,
+                                       Ls).sum(axis=0)
+                     for i in range(1, ni + 1)]
                 for i in range(ni):
                     for j in range(ni):
                         if abs(h[i, j]) > 0:
@@ -279,3 +310,170 @@ def _fd_coeffs(k, npts, h):
     b = np.zeros(npts)
     b[k] = math.factorial(k)
     return np.linalg.solve(A, b)
+
+
+# ---------------------------------------------------------------------------
+# k-point machinery (analog of reference pbc/df/fft_jk.py get_j_kpts:33 /
+# get_k_kpts:181 and pbc/scf/khf.py integrals)
+# ---------------------------------------------------------------------------
+
+def eval_ao_kpts(cell, coords, kpts, deriv=0, rcut=None):
+    """Bloch AOs phi_i^k(r) = sum_L e^{ikL} chi_i(r-L): (nk, [ncomp,] ng, nao)."""
+    Ls = np.asarray(cell.get_lattice_Ls(rcut))
+    kpts = np.asarray(kpts).reshape(-1, 3)
+    coords = jnp.asarray(coords)
+    out = None
+    phases = np.exp(1j * (kpts @ Ls.T))            # (nk, nL)
+    for il, L in enumerate(Ls):
+        v = np.asarray(mol_eval_ao(cell, coords - jnp.asarray(L),
+                                   deriv=deriv))
+        contrib = phases[:, il].reshape(-1, *([1] * v.ndim)) * v[None]
+        out = contrib if out is None else out + contrib
+    return out
+
+
+class KFFTDF(FFTDF):
+    """FFT density fitting over a k-point mesh."""
+
+    def __init__(self, cell, kpts):
+        super().__init__(cell, kpts=np.asarray(kpts).reshape(-1, 3))
+        self._ao_k = None
+
+    @property
+    def nkpts(self):
+        return len(self.kpts)
+
+    def _ao_on_grid_kpts(self):
+        if self._ao_k is None:
+            self._ao_k = eval_ao_kpts(self.cell, self.grids_coords,
+                                      self.kpts, 0)
+        return self._ao_k
+
+    def _lattice_sum_1e_kpts(self, cross_fn):
+        """Phase-weighted lattice sums: M_k = sum_L e^{ikL} M(0, L)."""
+        cell = self.cell
+        kpts = self.kpts
+        Ls = np.asarray(cell.get_lattice_Ls())
+        phases = np.exp(1j * (kpts @ Ls.T))
+        out = None
+        for il, L in enumerate(Ls):
+            m2 = cell.copy()
+            m2.set_geom_(np.asarray(cell.coords) + L)
+            v = np.asarray(cross_fn(cell, m2))
+            contrib = phases[:, il][:, None, None] * v[None]
+            out = contrib if out is None else out + contrib
+        return out
+
+    def get_ovlp_kpts(self):
+        from ...ops.integrals.int1e import int1e_ovlp_cross
+        return self._lattice_sum_1e_kpts(int1e_ovlp_cross)
+
+    def get_kin_kpts(self):
+        from ...ops.integrals.int1e import int1e_kin_cross
+        return self._lattice_sum_1e_kpts(int1e_kin_cross)
+
+    def get_pp_kpts(self):
+        """GTH pseudopotential per k: local on the grid + nonlocal."""
+        cell = self.cell
+        mesh = self.mesh
+        ngrid = np.prod(mesh)
+        Gv = cell.get_Gv(mesh)
+        G2 = np.einsum('ix,ix->i', Gv, Gv)
+        vlocG_tab = _gth_vlocG(cell, G2)
+        SIv = np.zeros(ngrid, dtype=complex)
+        for ia, symb in enumerate(cell.elements_):
+            SI = np.exp(-1j * Gv @ cell.coords[ia])
+            SIv += SI * vlocG_tab[symb]
+        vloc_r = np.fft.ifftn(SIv.reshape(mesh)).real * (ngrid / cell.vol)
+        vloc_r = vloc_r.ravel()
+        ao_k = self._ao_on_grid_kpts()
+        w = self.weight
+        nk = self.nkpts
+        nao = cell.nao
+        vpp = np.zeros((nk, nao, nao), dtype=complex)
+        for k in range(nk):
+            vpp[k] = w * np.einsum('gi,g,gj->ij', ao_k[k].conj(), vloc_r,
+                                   ao_k[k])
+        vpp += self.get_pp_nl_kpts()
+        return vpp
+
+    def get_pp_nl_kpts(self):
+        """Nonlocal GTH per k via exact phase-weighted projector overlaps."""
+        cell = self.cell
+        kpts = self.kpts
+        nk = len(kpts)
+        nao = cell.nao
+        vnl = np.zeros((nk, nao, nao), dtype=complex)
+        Ls = np.asarray(cell.get_lattice_Ls())
+        phases = np.exp(1j * (kpts @ Ls.T))       # (nk, nL)
+        for ia, symb in enumerate(cell.elements_):
+            pp = cell._pseudo[symb]
+            R = np.asarray(cell.coords[ia])
+            for l, ch in enumerate(pp['nl']):
+                h = np.asarray(ch['h'])
+                if h.size == 0:
+                    continue
+                ni = h.shape[0]
+                P = []
+                for i in range(1, ni + 1):
+                    ov = _proj_ovlp_images(cell, l, i, ch['rl'], R, Ls)
+                    P.append(np.einsum('kx,xum->kum', phases, ov))
+                for i in range(ni):
+                    for j in range(ni):
+                        if abs(h[i, j]) > 0:
+                            vnl += h[i, j] * np.einsum('kum,kvm->kuv',
+                                                       P[i], P[j].conj())
+        return vnl
+
+    def get_hcore_kpts(self):
+        return self.get_kin_kpts() + self.get_pp_kpts()
+
+    def get_jk_kpts(self, dm_kpts, with_j=True, with_k=True):
+        """FFT J/K over the k mesh (reference pbc/df/fft_jk.py:33,181)."""
+        cell = self.cell
+        mesh = self.mesh
+        ngrid = np.prod(mesh)
+        kpts = self.kpts
+        nk = len(kpts)
+        ao_k = self._ao_on_grid_kpts()
+        dm = np.asarray(dm_kpts)
+        Gv = cell.get_Gv(mesh)
+        w = self.weight
+        nao = cell.nao
+        vj = vk = None
+        if with_j:
+            rho = np.zeros(ngrid)
+            for k in range(nk):
+                dmao = ao_k[k] @ dm[k]
+                rho += np.einsum('gi,gi->g', dmao, ao_k[k].conj()).real
+            rho /= nk
+            G2 = np.einsum('ix,ix->i', Gv, Gv)
+            coulG = np.where(G2 > 1e-12, 4.0 * np.pi / np.maximum(G2, 1e-30),
+                             0.0)
+            vr = np.fft.ifftn((coulG.reshape(mesh)
+                               * np.fft.fftn(rho.reshape(mesh)))).real.ravel()
+            vj = np.stack([w * np.einsum('gi,g,gj->ij', ao_k[k].conj(), vr,
+                                         ao_k[k]) for k in range(nk)])
+        if with_k:
+            vk = np.zeros((nk, nao, nao), dtype=complex)
+            coords = np.asarray(self.grids_coords)
+            for k2 in range(nk):
+                evals, evecs = np.linalg.eigh(dm[k2])
+                keep = evals > 1e-10
+                cocc = evecs[:, keep] * np.sqrt(
+                    np.maximum(evals[keep], 0.0))
+                psi = ao_k[k2] @ cocc                  # (ngrid, nocc)
+                for k in range(nk):
+                    q = kpts[k2] - kpts[k]
+                    Gq2 = np.einsum('ix,ix->i', Gv + q, Gv + q)
+                    coulGq = np.where(Gq2 > 1e-12,
+                                      4.0 * np.pi / np.maximum(Gq2, 1e-30),
+                                      0.0).reshape(*mesh, 1)
+                    phase = np.exp(-1j * coords @ q)   # e^{-iqr}
+                    for o in range(psi.shape[1]):
+                        u = (ao_k[k].conj() * (psi[:, o] * phase)[:, None])
+                        uG = np.fft.fftn(u.reshape(*mesh, -1), axes=(0, 1, 2))
+                        vu = np.fft.ifftn(uG * coulGq,
+                                          axes=(0, 1, 2)).reshape(ngrid, -1)
+                        vk[k] += (w / nk) * u.T @ vu.conj()
+        return vj, vk

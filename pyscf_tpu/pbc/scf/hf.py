@@ -11,11 +11,20 @@ from ...scf.hf import RHF as MolRHF
 from ..df.fft import FFTDF
 
 
-def madelung(cell):
-    """Madelung constant of a probe charge in the neutralizing lattice."""
+def madelung(cell, kpts=None):
+    """Madelung constant of a probe charge in the neutralizing lattice.
+
+    With k-point sampling, the probe lives in the Born-von-Karman
+    supercell: the lattice is scaled by the Monkhorst-Pack mesh size per
+    axis (reference pbc/tools/pbc.py:550)."""
     from ..gto.cell import Cell
+    a = np.asarray(cell.lattice_vectors_)
+    if kpts is not None:
+        frac = np.asarray(kpts) @ a.T / (2.0 * np.pi)
+        nk = [len(np.unique(np.round(frac[:, i], 8))) for i in range(3)]
+        a = np.einsum('x,xi->xi', np.asarray(nk, float), a)
     probe = Cell(atom=[('H', (0.0, 0.0, 0.0))],
-                 a=cell.lattice_vectors_, unit='bohr',
+                 a=a, unit='bohr',
                  basis={'H': [[0, [1.0, 1.0]]]}, verbose=0,
                  precision=cell.precision)
     probe.build()
@@ -25,6 +34,7 @@ def madelung(cell):
 
 class RHF(MolRHF):
     exxdiv = 'ewald'
+    _fused_kind = None   # FFTDF J/K build is host-driven (no cderi tensor)
 
     def __init__(self, cell, exxdiv='ewald'):
         super().__init__(cell)
@@ -50,3 +60,11 @@ class RHF(MolRHF):
 
     def energy_nuc(self):
         return self.cell.ewald()
+
+    def density_fit(self, auxbasis=None):
+        """Swap the JK engine to Γ-point Gaussian DF (pbc/df/gdf.py);
+        hcore/overlap still come through the FFTDF machinery (GDF
+        subclasses it)."""
+        from ..df.gdf import GDF
+        self.with_df = GDF(self.cell, auxbasis)
+        return self

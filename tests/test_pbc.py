@@ -41,8 +41,8 @@ def test_diamond_gamma_lda():
     mf.verbose = 0
     e = mf.kernel()
     assert mf.converged
-    # reference golden -10.221426445656439 (their lattice-sum truncation)
-    assert abs(e - (-10.221426445656439)) < 5e-4
+    # reference golden (pbc/dft/test/test_krks.py:112), same [17]^3 mesh
+    assert abs(e - (-10.221426445656439)) < 1e-6
 
 
 def test_lattice_sum_overlap_normalized():
@@ -72,3 +72,64 @@ def test_madelung():
     cell = Cell(mesh=[17] * 3, **DIAMOND).build()
     m = madelung(cell)
     assert 0.5 < m < 0.9
+
+
+
+@pytest.mark.slow
+def test_kpts_vs_supercell_oracle():
+    """2x1x1 KRHF and KRKS-LDA equal the doubled supercell at Gamma
+    (the reference's own consistency strategy for BZ-sampling code)."""
+    from pyscf_tpu.pbc.tools import super_cell
+    from pyscf_tpu.pbc.scf import hf as ghf
+    from pyscf_tpu.pbc.scf.khf import KRHF
+    from pyscf_tpu.pbc.dft import rks as grks
+    from pyscf_tpu.pbc.dft.krks import KRKS
+    cell = Cell(mesh=[11] * 3, **DIAMOND).build()
+    kpts = cell.make_kpts([2, 1, 1])
+    sc = super_cell(cell, [2, 1, 1])
+    mfk = KRHF(cell, kpts=kpts)
+    mfk.conv_tol = 1e-9
+    ek = mfk.kernel()
+    mfs = ghf.RHF(sc)
+    mfs.conv_tol = 1e-9
+    mfs.init_guess = 'hcore'
+    es = mfs.kernel()
+    assert abs(ek - es / 2) < 1e-8
+    mfk2 = KRKS(cell, kpts=kpts, xc='lda,vwn')
+    mfk2.conv_tol = 1e-9
+    ek2 = mfk2.kernel()
+    mfs2 = grks.RKS(sc, xc='lda,vwn')
+    mfs2.conv_tol = 1e-9
+    mfs2.init_guess = 'hcore'
+    es2 = mfs2.kernel()
+    assert abs(ek2 - es2 / 2) < 1e-8
+
+
+@pytest.mark.slow
+def test_krks_222_golden():
+    """KRKS-LDA 2x2x2 vs reference golden (pbc/dft/test/test_krks.py:121)."""
+    from pyscf_tpu.pbc.dft.krks import KRKS
+    cell = Cell(mesh=[17] * 3, **DIAMOND).build()
+    kpts = cell.make_kpts([2, 2, 2], with_gamma_point=False)
+    mf = KRKS(cell, kpts=kpts, xc='lda,vwn')
+    mf.conv_tol = 1e-8
+    e = mf.kernel()
+    assert abs(e - (-11.353643583707452)) < 2e-6
+
+
+@pytest.mark.slow
+def test_diamond_gamma_pbe_gdf():
+    """Config 5: diamond Gamma PBE with Gaussian DF (CD factorization) ==
+    the exact FFTDF result to the Cholesky tolerance."""
+    from pyscf_tpu.pbc.dft import RKS
+    cell = Cell(mesh=[15] * 3, **DIAMOND).build()
+    mf = RKS(cell, xc='pbe')
+    mf.conv_tol = 1e-9
+    mf.init_guess = 'hcore'
+    e_fft = mf.kernel()
+    mf2 = RKS(cell, xc='pbe').density_fit()
+    mf2.conv_tol = 1e-9
+    mf2.init_guess = 'hcore'
+    e_gdf = mf2.kernel()
+    assert mf2.converged
+    assert abs(e_gdf - e_fft) < 1e-8
