@@ -121,9 +121,94 @@ def _fxc_ov(mf, co, cv):
     return a_xc, a_xc
 
 
+def gen_tda_operation(mf):
+    """Matrix-free singlet A·z product (reference tdscf/rhf.py:46
+    gen_tda_operation): DF-MO Coulomb/exchange contractions on the MXU +
+    the XC kernel applied as a jax.jvp of the Vxc map (no explicit fxc
+    table — linearized response of the same autodiff XC used in the SCF).
+    Returns (matvec, hdiag)."""
+    mol = mf.mol
+    occ = np.asarray(mf.mo_occ) > 0
+    co = jnp.asarray(mf.mo_coeff[:, occ])
+    cv = jnp.asarray(mf.mo_coeff[:, ~occ])
+    eo = jnp.asarray(np.asarray(mf.mo_energy)[occ])
+    ev = jnp.asarray(np.asarray(mf.mo_energy)[~occ])
+    nocc, nvir = co.shape[1], cv.shape[1]
+    is_ks = hasattr(mf, 'xc')
+    hyb = 1.0
+    if is_ks:
+        from ..dft import xc as xc_mod
+        hyb = float(xc_mod.hybrid_coeff(mf.xc))
+
+    if getattr(mf, 'with_df', None) is not None:
+        B3 = mf.with_df.cderi
+        from ..df.df_jk import _bmo
+        Bov = _bmo(B3, co, cv)          # (naux, no, nv)
+        Boo = _bmo(B3, co, co)
+        Bvv = _bmo(B3, cv, cv)
+
+        def jk_part(z):
+            rho = jnp.einsum('xjb,jb->x', Bov, z)
+            az = 2.0 * jnp.einsum('xia,x->ia', Bov, rho)
+            if hyb != 0.0:
+                az = az - hyb * jnp.einsum('xij,xab,jb->ia', Boo, Bvv, z)
+            return az
+    else:
+        eri = mf._get_eri()
+
+        def jk_part(z):
+            dmz = co @ z @ cv.T
+            vj = jnp.einsum('ijkl,lk->ij', eri, dmz + dmz.T)
+            az = co.T @ vj @ cv
+            if hyb != 0.0:
+                vk = jnp.einsum('ilkj,lk->ij', eri, dmz + dmz.T)
+                az = az - 0.5 * hyb * (co.T @ vk @ cv
+                                       + (cv.T @ vk @ co).T)
+            return az
+
+    if is_ks:
+        if mf.grids.coords is None:
+            mf.grids.build()
+        from ..dft.numint import _pad_grid
+        deriv = 1 if mf.xc_obj.is_gga else 0
+        aod, weights = mf._numint.grid_ao(mol, mf.grids, deriv)
+        core = mf._numint._get_rks_core_aod(mol, mf.xc)
+        dm0 = jnp.asarray(mf.make_rdm1())
+
+        def vxc_of(dm):
+            return core(aod, weights, dm)[2]
+
+        def fxc_part(z):
+            # singlet coupling: 2 * int P_ia fxc P_jb z_jb == the Vxc
+            # response to the symmetrized transition density
+            ddm = co @ z @ cv.T
+            ddm = ddm + ddm.T
+            _, dv = jax.jvp(vxc_of, (dm0,), (ddm,))
+            return co.T @ dv @ cv
+    else:
+        def fxc_part(z):
+            return jnp.zeros((nocc, nvir))
+
+    ediag = (ev[None, :] - eo[:, None])
+
+    @jax.jit
+    def matvec(z):
+        z = z.reshape(nocc, nvir)
+        az = ediag * z + jk_part(z)
+        if is_ks:
+            az = az + fxc_part(z)
+        return az.reshape(-1)
+
+    hdiag = np.asarray(ediag).reshape(-1)
+    return matvec, hdiag
+
+
 class TDA:
     nstates = 3
     singlet = True
+    conv_tol = 1e-8
+    # use the iterative Davidson solver above this ov-space size
+    dense_cutoff = 1500
 
     def __init__(self, mf):
         self._scf = mf
@@ -133,12 +218,29 @@ class TDA:
 
     def kernel(self, nstates=None):
         n = nstates or self.nstates
-        a, b = get_ab(self._scf)
-        nocc, nvir = a.shape[0], a.shape[1]
-        amat = np.asarray(a).reshape(nocc * nvir, nocc * nvir)
-        w, v = np.linalg.eigh(amat)
-        self.e = w[:n]
-        self.xy = [(v[:, i].reshape(nocc, nvir) * np.sqrt(0.5), 0)
+        mf = self._scf
+        occ = np.asarray(mf.mo_occ) > 0
+        nocc = int(occ.sum())
+        nvir = int((~occ).sum())
+        nov = nocc * nvir
+        if nov <= self.dense_cutoff:
+            a, b = get_ab(mf)
+            amat = np.asarray(a).reshape(nov, nov)
+            w, v = np.linalg.eigh(amat)
+            self.e = w[:n]
+            self.xy = [(v[:, i].reshape(nocc, nvir) * np.sqrt(0.5), 0)
+                       for i in range(n)]
+            return self.e
+        matvec, hdiag = gen_tda_operation(mf)
+        from ..lib.linalg import davidson
+        x0 = np.zeros((n, nov))
+        order = np.argsort(hdiag)
+        for i in range(n):
+            x0[i, order[i]] = 1.0
+        w, v, conv = davidson(matvec, x0, neig=n, tol=self.conv_tol,
+                              hdiag=hdiag)
+        self.e = np.asarray(w)[:n]
+        self.xy = [(np.asarray(v[i]).reshape(nocc, nvir) * np.sqrt(0.5), 0)
                    for i in range(n)]
         return self.e
 

@@ -162,3 +162,27 @@ def test_rpa():
     rpa = RPA(mf, auxbasis='def2-svp-ri')
     ec = rpa.kernel()
     assert abs(ec - (-0.307830040357800)) < 1e-6
+
+
+@pytest.mark.slow
+def test_tda_lda_golden():
+    """TDA-LDA HF/6-31G vs reference fingerprint golden
+    (tdscf/test/test_tdrks.py:150), dense and Davidson paths."""
+    import numpy as np
+    mol = pt.M(atom='H 0 0 0.917; F 0 0 0', basis='6-31g', verbose=0)
+    mf = pt.dft.RKS(mol, xc='lda,vwn')
+    mf.grids.prune = None
+    mf.conv_tol = 1e-10
+    mf.kernel()
+    from pyscf_tpu.tdscf.rhf import TDA
+
+    def fp(a):
+        a = np.asarray(a).ravel()
+        return float(a @ np.cos(np.arange(a.size)))
+
+    es = TDA(mf).kernel(nstates=5) * 27.2114
+    assert abs(fp(es) - (-41.201828219760415)) < 5e-5
+    td = TDA(mf)
+    td.dense_cutoff = 0          # force the Davidson path
+    es2 = td.kernel(nstates=5) * 27.2114
+    assert abs(fp(es2) - fp(es)) < 1e-7
