@@ -56,7 +56,7 @@ def _spin_orbital_eris(mf):
     # physicists' antisymmetrized
     phys = eri_mo.transpose(0, 2, 1, 3)
     asym = phys - phys.transpose(0, 1, 3, 2)
-    return jnp.asarray(asym), jnp.asarray(energies), nocc
+    return jnp.asarray(asym), jnp.asarray(energies), nocc, spins, orbs
 
 
 @jax.jit
@@ -162,7 +162,8 @@ class GCCSD:
         return float(self._scf.e_tot) + float(self.e_corr)
 
     def kernel(self):
-        eris, mo_e, nocc = _spin_orbital_eris(self._scf)
+        eris, mo_e, nocc, spins, orbs = _spin_orbital_eris(self._scf)
+        self._so_map = (spins, orbs)
         nocc -= 2 * self.frozen
         if self.frozen:
             f2 = 2 * self.frozen
@@ -200,9 +201,67 @@ class GCCSD:
         self.converged = conv
         self.e_corr = e_corr
         self.t1, self.t2 = t1, t2
+        self._eris_so = eris
+        self._mo_e_so = mo_e
+        self._nocc_so = nocc
         return self.e_corr, t1, t2
 
     run = kernel
+
+    def solve_lambda(self, tol=None):
+        """Λ amplitudes via the vjp fixed point (cc/gccsd_lambda.py)."""
+        from . import gccsd_lambda as gl
+        f = jnp.diag(jnp.asarray(self._mo_e_so))
+        self.l1, self.l2, conv = gl.solve_lambda(
+            self.t1, self.t2, f, self._eris_so,
+            jnp.asarray(self._mo_e_so),
+            tol=tol or max(self.conv_tol_normt, 1e-7),
+            verbose=self.verbose)
+        self.lambda_converged = conv
+        return self.l1, self.l2
+
+    def make_rdm1(self, ao_repr=False):
+        """CCSD response 1-RDM (HF part + correlation correction).
+
+        Spin-orbital basis by default; ao_repr=True returns the spatial
+        AO density (spin-summed), reference cc/ccsd_rdm.py:make_rdm1."""
+        from . import gccsd_lambda as gl
+        if not hasattr(self, 'l1'):
+            self.solve_lambda()
+        f = jnp.diag(jnp.asarray(self._mo_e_so))
+        g1, _ = gl.make_rdm12(self.t1, self.t2, self.l1, self.l2, f,
+                              self._eris_so)
+        nso = g1.shape[0]
+        nocc = self._nocc_so
+        dm_so = np.array(g1)
+        dm_so[np.arange(nocc), np.arange(nocc)] += 1.0   # HF part
+        if not ao_repr:
+            return dm_so
+        spins, orbs = self._so_map
+        if self.frozen:
+            f2 = 2 * self.frozen
+            spins = spins[f2:]
+            orbs = orbs[f2:]
+            # frozen core still contributes its HF density
+        mo_c = np.asarray(self._scf.mo_coeff)
+        if mo_c.ndim == 2:
+            mo_c = np.stack([mo_c, mo_c])
+        C = np.stack([mo_c[s][:, p] for s, p in zip(spins, orbs)], axis=1)
+        dm_ao = C @ dm_so @ C.T
+        if self.frozen:
+            for s, p in zip(*[m[:2 * self.frozen]
+                              for m in self._so_map]):
+                dm_ao += np.outer(mo_c[s][:, p], mo_c[s][:, p])
+        return dm_ao
+
+    def make_rdm2(self):
+        from . import gccsd_lambda as gl
+        if not hasattr(self, 'l1'):
+            self.solve_lambda()
+        f = jnp.diag(jnp.asarray(self._mo_e_so))
+        _, g2 = gl.make_rdm12(self.t1, self.t2, self.l1, self.l2, f,
+                              self._eris_so)
+        return g2
 
 
 UCCSD = GCCSD

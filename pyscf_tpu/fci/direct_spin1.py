@@ -129,8 +129,13 @@ def kernel(h1e, eri, norb, nelec, ecore=0.0, nroots=1, ci0=None,
 
     hdiag = make_hdiag(h1e, eri, norb, nelec)
     if ci0 is None:
-        x0 = np.zeros(na * nb)
-        x0[int(np.argmin(hdiag))] = 1.0
+        # one seed per requested root (lowest diagonal entries) so the
+        # Davidson subspace reaches every sector from the start
+        nseed = min(nroots, na * nb)
+        order = np.argsort(np.asarray(hdiag))
+        x0 = np.zeros((nseed, na * nb))
+        for i in range(nseed):
+            x0[i, order[i]] = 1.0
     else:
         x0 = np.asarray(ci0).ravel()
     e, vecs, conv = davidson(matvec, x0, neig=nroots, max_cycle=max_cycle,

@@ -64,8 +64,9 @@ def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
         H = Vm @ AVm.T
         H = 0.5 * (H + H.T)
         theta, S = np.linalg.eigh(H)
-        theta = theta[:neig]
-        S = S[:, :neig]
+        nroot = min(neig, len(theta))
+        theta = theta[:nroot]
+        S = S[:, :nroot]
         X = S.T @ Vm                      # ritz vectors (neig, n)
         AX = S.T @ AVm
         R = AX - theta[:, None] * X
@@ -82,7 +83,7 @@ def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
             V = [X[i] / np.linalg.norm(X[i]) for i in range(neig)]
             AV = []
             continue
-        for i in range(neig):
+        for i in range(nroot):
             if rnorm[i] < tol:
                 continue
             if hd is not None:

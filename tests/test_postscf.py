@@ -186,3 +186,56 @@ def test_tda_lda_golden():
     td.dense_cutoff = 0          # force the Davidson path
     es2 = td.kernel(nstates=5) * 27.2114
     assert abs(fp(es2) - fp(es)) < 1e-7
+
+
+def test_ccsd_lambda_rdm():
+    """CCSD Λ (vjp fixed point) + response RDMs: trace and the exact
+    linearity identity E_corr == Σ γ·f + Σ Γ·v."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyscf_tpu.cc.gccsd import GCCSD
+    from pyscf_tpu.cc import gccsd_lambda as gl
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cc = GCCSD(mf)
+    cc.conv_tol = 1e-10
+    cc.conv_tol_normt = 1e-9
+    ecc, _, _ = cc.kernel()
+    cc.solve_lambda(tol=1e-9)
+    assert cc.lambda_converged
+    f = jnp.diag(jnp.asarray(cc._mo_e_so))
+    g1, g2 = gl.make_rdm12(cc.t1, cc.t2, cc.l1, cc.l2, f, cc._eris_so)
+    e_chk = float(jnp.sum(g1 * f) + jnp.sum(g2 * cc._eris_so))
+    assert abs(e_chk - ecc) < 1e-9
+    dm_ao = cc.make_rdm1(ao_repr=True)
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    assert abs(np.einsum('ij,ji->', dm_ao, s) - mol.nelectron) < 1e-8
+
+
+def test_eom_ee_ccsd_h2_exact():
+    """EOM-EE-CCSD == FCI for a 2-electron system; the EOM matrix is the
+    CC Jacobian obtained by jax.jvp of the amplitude residual."""
+    import numpy as np
+    from pyscf_tpu.cc.gccsd import GCCSD
+    from pyscf_tpu.cc.eom_gccsd import EOMEE
+    from pyscf_tpu.fci import direct_spin1
+    from pyscf_tpu import ao2mo
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cc = GCCSD(mf)
+    cc.conv_tol = 1e-12
+    cc.conv_tol_normt = 1e-10
+    cc.kernel()
+    es = EOMEE(cc).kernel(nstates=4)
+    h1 = np.asarray(mf.mo_coeff.T @ mf.get_hcore() @ mf.mo_coeff)
+    eri_mo = np.asarray(ao2mo.full(mol.intor('int2e'), mf.mo_coeff))
+    efci, _ = direct_spin1.kernel(h1, eri_mo, 2, 2, nroots=3)
+    ex_fci = np.asarray(efci[1:]) - efci[0]
+    # triplet (3x degenerate) + open-shell singlet
+    assert abs(es[0] - ex_fci[0]) < 1e-9
+    assert abs(es[3] - ex_fci[1]) < 1e-9
