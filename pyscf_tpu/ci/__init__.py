@@ -1,2 +1,3 @@
 """Configuration interaction (analog of reference pyscf/ci)."""
-from .cisd import CISD, RCISD
+from .cisd_amp import CISD
+from .cisd import CISD as CISD_det, RCISD

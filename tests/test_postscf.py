@@ -239,3 +239,19 @@ def test_eom_ee_ccsd_h2_exact():
     # triplet (3x degenerate) + open-shell singlet
     assert abs(es[0] - ex_fci[0]) < 1e-9
     assert abs(es[3] - ex_fci[1]) < 1e-9
+
+
+def test_cisd_amplitude_vs_determinant():
+    """O(N^6) amplitude CISD (CC-Jacobian matvec) == determinant CISD."""
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    from pyscf_tpu.ci import CISD, CISD_det
+    cd = CISD_det(mf)
+    cd.kernel()
+    ca = CISD(mf)
+    ca.kernel()
+    assert ca.converged
+    assert abs(ca.e_corr - cd.e_corr) < 1e-10
