@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lib import parameters as param
+from ..lib import logger
 from ..lib.diis import DIIS
 from ..lib.linalg import canonical_orth, eigh_gen
 
@@ -274,14 +275,18 @@ class SCF:
         from .fused import (build_restricted_program,
                             build_unrestricted_program, get_program)
         mol = self.mol
+        log = logger.new_logger(self)
         t_start = time.time()
         conv_tol_grad = (np.sqrt(self.conv_tol)
                          if self.conv_tol_grad is None else self.conv_tol_grad)
         s1e = self.get_ovlp(mol)
         h1e = self.get_hcore(mol)
         self._orth = canonical_orth(s1e, self.lindep_thresh)
+        log.timer('1e integrals + orthogonalizer')
         dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
+        log.timer('initial guess')
         kind, veff_fn, veff_data = self._fused_veff()
+        log.timer('veff data (DF factor / grid AO values)')
         if self._fused_kind == 'restricted':
             nocc = mol.nelectron // 2
             key = (kind, mol.nao, nocc, self.diis_space)
@@ -296,21 +301,23 @@ class SCF:
             veff_data, h1e, s1e, self._orth, dm,
             self.conv_tol, conv_tol_grad, self.max_cycle)
         self.converged = bool(done)
+        log.timer('fused SCF while_loop (%d cycles)' % int(ncyc))
         self.e_tot = float(e_elec) + self.energy_nuc()
         self.mo_energy = moe
         self.mo_coeff = moc
         self.mo_occ = self.get_occ(moe, moc)
         self._stash_occ_orbitals(moc, self.mo_occ)
         self.dump_chk()
-        if self.verbose >= param.VERBOSE_NOTE:
-            state = 'converged' if self.converged else 'NOT converged'
-            print(f'SCF {state} in {int(ncyc)} cycles. '
-                  f'E= {self.e_tot:.14f} ({time.time() - t_start:.1f}s)')
+        state = 'converged' if self.converged else 'NOT converged'
+        log.note('SCF %s in %d cycles. E= %.14f (%.1fs)',
+                 state, int(ncyc), self.e_tot, time.time() - t_start)
         return self.e_tot
 
     # ---------------- driver ------------------------------------------
     def kernel(self, dm0=None, **kwargs):
-        if self._fused_ok() and self.verbose < param.VERBOSE_INFO:
+        # verbose >= DEBUG falls back to the host loop (per-cycle prints);
+        # verbose == INFO runs fused with per-phase timers
+        if self._fused_ok() and self.verbose < param.VERBOSE_DEBUG:
             res = self._fused_veff()
             if res is not None:
                 return self._kernel_fused(dm0)
@@ -350,6 +357,11 @@ class SCF:
             if self.verbose >= param.VERBOSE_INFO:
                 print(f'cycle= {cycle + 1} E= {e_tot:.15g} '
                       f'delta_E= {de:.3g} |g|= {grad:.3g}')
+            self.e_tot = e_tot
+            self.mo_energy = mo_energy
+            self.mo_coeff = mo_coeff
+            self.mo_occ = mo_occ
+            self.dump_chk()      # per-cycle resume point (reference hf.py:204)
             if de < self.conv_tol and grad < conv_tol_grad:
                 scf_conv = True
                 break
