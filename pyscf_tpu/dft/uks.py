@@ -62,6 +62,43 @@ class UKS(KohnShamDFT, UHF):
                 e2 = e2 - 0.5 * (jnp.sum(vka * dma) + jnp.sum(vkb * dmb))
             return vhf, e2
 
+        def veff_dm_fn(data, dma, dmb):
+            _, exc, vxc = core(data['aod'], data['weights'],
+                               jnp.stack([dma, dmb]))
+            if 'B' in data:
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dma + dmb)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                vka = jnp.einsum('pil,lk,pkj->ij', B, dma, B)
+                vkb = jnp.einsum('pil,lk,pkj->ij', B, dmb, B)
+                if omega:
+                    Blr = data['Blr']
+                    vka = hyb * vka + (alpha - hyb) * jnp.einsum(
+                        'pil,lk,pkj->ij', Blr, dma, Blr)
+                    vkb = hyb * vkb + (alpha - hyb) * jnp.einsum(
+                        'pil,lk,pkj->ij', Blr, dmb, Blr)
+                else:
+                    vka = hyb * vka
+                    vkb = hyb * vkb
+            else:
+                eri = data['eri']
+                rhoj = jnp.einsum('ijkl,lk->ij', eri, dma + dmb)
+                vj = rhoj
+                vka = hyb * jnp.einsum('ilkj,lk->ij', eri, dma)
+                vkb = hyb * jnp.einsum('ilkj,lk->ij', eri, dmb)
+                if omega:
+                    lr = data['eri_lr']
+                    vka = vka + (alpha - hyb) * jnp.einsum('ilkj,lk->ij',
+                                                           lr, dma)
+                    vkb = vkb + (alpha - hyb) * jnp.einsum('ilkj,lk->ij',
+                                                           lr, dmb)
+            vhf = vxc + vj[None]
+            e2 = 0.5 * jnp.sum(vj * (dma + dmb)) + exc
+            if with_k:
+                vhf = vhf - jnp.stack([vka, vkb])
+                e2 = e2 - 0.5 * (jnp.sum(vka * dma) + jnp.sum(vkb * dmb))
+            return vhf, e2
+
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
             if omega:
@@ -73,7 +110,7 @@ class UKS(KohnShamDFT, UHF):
                 data['eri_lr'] = self._get_eri(omega)
             key = ('uks-eri', self.xc, hyb, omega, data['eri'].shape,
                    aod.shape)
-        return key, veff_fn, data
+        return key, veff_fn, data, veff_dm_fn
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         mol = mol or self.mol

@@ -129,11 +129,17 @@ def _occ_factor(dm, n):
     return u[:, ::-1][:, :n] * jnp.sqrt(jnp.maximum(w[::-1][:n], 0.0))[None, :]
 
 
-def build_unrestricted_program(na, nb, diis_space, veff_fn):
+def build_unrestricted_program(na, nb, diis_space, veff_fn,
+                               veff_dm_fn=None):
     """One-dispatch unrestricted SCF (UHF/UKS).
 
     veff_fn(veff_data, dma, dmb, coa, cob) -> (vhf (2,n,n), e2) traceable;
     co* are the occupied-orbital factors (occupation 1), dm_s == co_s co_s^T.
+    veff_dm_fn(veff_data, dma, dmb) -> (vhf, e2) builds the potential from
+    a (possibly non-idempotent) density; used once on the UNTRUNCATED
+    initial guess so no guess information is lost to the rank-na/nb
+    natural-orbital factorization (a truncated minao guess was observed to
+    land open-shell systems in excited SCF basins).
 
     Returns a jitted program
       program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
@@ -151,8 +157,16 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn):
                 max_cycle):
         nao = h1e.shape[0]
         space = diis_space
-        coa0 = _occ_factor(dm0[0], na)
-        cob0 = _occ_factor(dm0[1], nb)
+        if veff_dm_fn is not None:
+            vhf0, _ = veff_dm_fn(veff_data, dm0[0], dm0[1])
+            fp = jnp.einsum('ji,sjk,kl->sil', x, h1e[None] + vhf0, x)
+            _, cpa = jnp.linalg.eigh(fp[0])
+            _, cpb = jnp.linalg.eigh(fp[1])
+            coa0 = (x @ cpa)[:, :na]
+            cob0 = (x @ cpb)[:, :nb]
+        else:
+            coa0 = _occ_factor(dm0[0], na)
+            cob0 = _occ_factor(dm0[1], nb)
 
         def err_of(dm, f):
             sdf = s1e @ dm @ f

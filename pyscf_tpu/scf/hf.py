@@ -285,7 +285,9 @@ class SCF:
         log.timer('1e integrals + orthogonalizer')
         dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
         log.timer('initial guess')
-        kind, veff_fn, veff_data = self._fused_veff()
+        res = self._fused_veff()
+        kind, veff_fn, veff_data = res[:3]
+        veff_dm_fn = res[3] if len(res) > 3 else None
         log.timer('veff data (DF factor / grid AO values)')
         if self._fused_kind == 'restricted':
             nocc = mol.nelectron // 2
@@ -296,7 +298,7 @@ class SCF:
             na, nb = mol.nelec
             key = (kind, mol.nao, na, nb, self.diis_space)
             prog = get_program(mol, key, lambda: build_unrestricted_program(
-                na, nb, self.diis_space, veff_fn))
+                na, nb, self.diis_space, veff_fn, veff_dm_fn))
         e_elec, done, ncyc, moe, moc, dm = prog(
             veff_data, h1e, s1e, self._orth, dm,
             self.conv_tol, conv_tol_grad, self.max_cycle)

@@ -26,7 +26,17 @@ class UHF(SCF):
                 e2 = 0.5 * (jnp.sum(vhf[0] * dma) + jnp.sum(vhf[1] * dmb))
                 return vhf, e2
 
-            return ('uhf-df', B.shape), veff_fn, {'B': B}
+            def veff_dm_fn(data, dma, dmb):
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dma + dmb)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                vka = jnp.einsum('pil,lk,pkj->ij', B, dma, B)
+                vkb = jnp.einsum('pil,lk,pkj->ij', B, dmb, B)
+                vhf = jnp.stack([vj - vka, vj - vkb])
+                e2 = 0.5 * (jnp.sum(vhf[0] * dma) + jnp.sum(vhf[1] * dmb))
+                return vhf, e2
+
+            return (('uhf-df', B.shape), veff_fn, {'B': B}, veff_dm_fn)
         if self._eri is None:
             self._eri = self.mol.intor('int2e')
         eri = self._eri
@@ -40,7 +50,10 @@ class UHF(SCF):
             e2 = 0.5 * (jnp.sum(vhf[0] * dma) + jnp.sum(vhf[1] * dmb))
             return vhf, e2
 
-        return ('uhf-eri', eri.shape), veff_fn, {'eri': eri}
+        def veff_dm_fn(data, dma, dmb):
+            return veff_fn(data, dma, dmb, None, None)
+
+        return (('uhf-eri', eri.shape), veff_fn, {'eri': eri}, veff_dm_fn)
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         dm = jnp.asarray(dm)

@@ -191,3 +191,26 @@ def test_stability_and_newton():
     e = mf2.kernel()
     assert mf2.converged
     assert abs(e - (-74.96306312971071)) < 1e-8
+
+
+def test_ghf_matches_rhf_closed_shell():
+    from pyscf_tpu.scf.ghf import GHF
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    e_rhf = mol.RHF().kernel()
+    g = GHF(mol)
+    g.conv_tol = 1e-10
+    e_ghf = g.kernel()
+    assert abs(e_ghf - e_rhf) < 1e-9
+    ss, mult = g.spin_square()
+    assert abs(ss) < 1e-8 and abs(mult - 1.0) < 1e-8
+
+
+def test_uhf_fused_ground_state_basin():
+    """The fused driver must reach the same SCF solution as the host loop
+    from the minao guess (regression: rank-truncated guess landed OH in an
+    excited basin)."""
+    molr = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1,
+                verbose=0)
+    u = pt.scf.UHF(molr)
+    e = u.kernel()
+    assert abs(e - (-74.36266919476718)) < 1e-8
