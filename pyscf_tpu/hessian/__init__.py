@@ -70,3 +70,37 @@ def thermo(mol, freq_au, e_tot, temperature=298.15, pressure=101325.0):
         'E_tot+ZPE': float(e_tot) + zpe,
     }
     return results
+
+
+class Hessian:
+    """Semi-analytic nuclear Hessian: central differences of the ANALYTIC
+    (autodiff) gradient — one order better than FD-of-energy and the
+    standard cross-check for the coming CPHF analytic Hessian (reference
+    hessian/rhf.py)."""
+
+    def __init__(self, mf, step=1e-3):
+        self._scf = mf
+        self.mol = mf.mol
+        self.step = step
+
+    def kernel(self):
+        mf0 = self._scf
+        isks = hasattr(mf0, 'xc')
+        isdf = getattr(mf0, 'with_df', None) is not None
+
+        def grad_factory(m2):
+            if isks:
+                from ..dft import RKS
+                f = RKS(m2, xc=mf0.xc)
+            else:
+                f = m2.RHF()
+            if isdf:
+                f = f.density_fit(mf0.with_df.auxbasis)
+            f.conv_tol = min(mf0.conv_tol, 1e-11)
+            f.kernel()
+            return f.Gradients().kernel()
+
+        self.de = hessian_fd(grad_factory, self.mol, self.step)
+        return self.de
+
+    run = kernel
