@@ -1,2 +1,3 @@
 """GW / RPA methods (analog of reference pyscf/gw)."""
 from .rpa import RPA, dRPA
+from .gw_ac import GWAC, GW

@@ -255,3 +255,20 @@ def test_cisd_amplitude_vs_determinant():
     ca.kernel()
     assert ca.converged
     assert abs(ca.e_corr - cd.e_corr) < 1e-10
+
+
+@pytest.mark.slow
+def test_g0w0_ac_golden():
+    """G0W0-AC(Pade)@PBE HOMO/LUMO vs reference goldens
+    (gw/test/test_gw.py:32 test_gwac_pade)."""
+    mol = pt.M(atom='O 0 0 0; H 0 -0.7571 0.5861; H 0 0.7571 0.5861',
+               basis='def2-svp', verbose=0)
+    mf = pt.dft.RKS(mol, xc='pbe')
+    mf.conv_tol = 1e-10
+    mf.kernel()
+    from pyscf_tpu.gw.gw_ac import GWAC
+    nocc = mol.nelectron // 2
+    gw = GWAC(mf)
+    gw.kernel(orbs=range(nocc - 1, nocc + 1))
+    assert abs(gw.mo_energy[nocc - 1] - (-0.412849230989)) < 1e-4
+    assert abs(gw.mo_energy[nocc] - 0.165745160102) < 1e-4
