@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import __config__
 from ..lib import parameters as param
 from ..lib import logger
 from ..lib.diis import DIIS
@@ -73,10 +74,10 @@ def energy_elec(dm, h1e, vhf):
 class SCF:
     """Base mean-field driver. Subclasses provide get_veff/get_occ/make_rdm1."""
 
-    conv_tol = 1e-10
-    conv_tol_grad = None
-    max_cycle = 100
-    diis_space = 8
+    conv_tol = getattr(__config__, 'scf_hf_SCF_conv_tol', 1e-10)
+    conv_tol_grad = getattr(__config__, 'scf_hf_SCF_conv_tol_grad', None)
+    max_cycle = getattr(__config__, 'scf_hf_SCF_max_cycle', 100)
+    diis_space = getattr(__config__, 'scf_hf_SCF_diis_space', 8)
     diis_start_cycle = 1
     level_shift = 0.0
     init_guess = 'minao'

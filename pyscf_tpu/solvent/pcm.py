@@ -22,9 +22,10 @@ VDW_RADII = {
 }
 
 
-def gen_surface(mol, n_ang=110, scale=1.2):
-    """Exposed cavity points: (coords (n,3), areas (n,), atom ids)."""
-    pts_all, area_all, atom_all = [], [], []
+def gen_surface(mol, n_ang=110, scale=1.2, with_norm=False):
+    """Exposed cavity points: (coords (n,3), areas (n,), atom ids
+    [, outward normals])."""
+    pts_all, area_all, atom_all, norm_all = [], [], [], []
     radii = np.array([VDW_RADII.get(int(z), 1.5) / BOHR * scale
                       for z in mol.charges])
     leb_pts, leb_w = lebedev_grid(n_ang)
@@ -43,27 +44,55 @@ def gen_surface(mol, n_ang=110, scale=1.2):
         pts_all.append(pts[keep])
         area_all.append(area[keep])
         atom_all.append(np.full(keep.sum(), ia))
-    return (np.concatenate(pts_all), np.concatenate(area_all),
-            np.concatenate(atom_all))
+        norm_all.append(leb_pts[keep])
+    out = (np.concatenate(pts_all), np.concatenate(area_all),
+           np.concatenate(atom_all))
+    if with_norm:
+        return out + (np.concatenate(norm_all),)
+    return out
 
 
 class PCM:
-    """Conductor-like PCM; eps -> inf recovers COSMO."""
+    """Polarizable continuum model: C-PCM (conductor; eps -> inf recovers
+    COSMO) or IEF-PCM (integral-equation formalism; reference
+    solvent/pcm.py:260 supports the same pair)."""
 
-    def __init__(self, mol, eps=78.3553, n_ang=110, scale=1.2):
+    def __init__(self, mol, eps=78.3553, n_ang=110, scale=1.2,
+                 method='C-PCM'):
         self.mol = mol
         self.eps = eps
-        self.method = 'C-PCM'
-        self.surface = gen_surface(mol, n_ang, scale)
+        self.method = method.upper().replace('PCM', 'PCM')
+        surf = gen_surface(mol, n_ang, scale, with_norm=True)
+        self.surface = surf[:3]
+        normals = surf[3]
         pts, area, _ = self.surface
         n = len(area)
-        # K matrix (conductor): diag 1.0694*sqrt(4 pi / a_k), offdiag 1/r
-        d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=2)
+        # single-layer S: diag 1.0694*sqrt(4 pi / a_k), offdiag 1/r
+        dvec = pts[:, None, :] - pts[None, :, :]
+        d = np.linalg.norm(dvec, axis=2)
         np.fill_diagonal(d, 1.0)
-        K = 1.0 / d
-        np.fill_diagonal(K, 1.0694 * np.sqrt(4.0 * np.pi / area))
-        self._Kinv = np.linalg.inv(K)
-        self.f_eps = (eps - 1.0) / eps
+        S = 1.0 / d
+        np.fill_diagonal(S, 1.0694 * np.sqrt(4.0 * np.pi / area))
+        if self.method in ('C-PCM', 'COSMO', 'CPCM'):
+            self.f_eps = (eps - 1.0) / eps
+            # q = -f K^-1 v with K = S
+            self._resp = -self.f_eps * np.linalg.inv(S)
+        elif self.method in ('IEF-PCM', 'IEFPCM', 'SS(V)PE'):
+            # double layer D_ij = (r_i - r_j).n_j / |r_i - r_j|^3;
+            # diagonal from the sum rule sum_j D_ij a_j = -2 pi
+            D = np.einsum('ijx,jx->ij', dvec, normals) / d ** 3
+            np.fill_diagonal(D, 0.0)
+            diag = -(2.0 * np.pi + (D * area[None, :]).sum(axis=1)
+                     - np.diag(D) * area) / area
+            np.fill_diagonal(D, diag)
+            DA = D * area[None, :]
+            f = (eps - 1.0) / (eps + 1.0)
+            K = S - f / (2.0 * np.pi) * (DA @ S)
+            Rmat = -f * (np.eye(n) - DA / (2.0 * np.pi))
+            self.f_eps = f
+            self._resp = np.linalg.solve(K, Rmat)
+        else:
+            raise NotImplementedError(self.method)
         self._v_ints = None     # (npts, nao, nao) potential integrals
 
     def _potential_ints(self):
@@ -93,16 +122,17 @@ class PCM:
         dm_np = np.asarray(dm)
         v_ele = -np.einsum('kij,ji->k', vints, dm_np)
         v = v_nuc + v_ele
-        q = -self.f_eps * (self._Kinv @ v)
+        q = self._resp @ v
         e_solv = 0.5 * float(q @ v)
         # Fock: dE/d dm = sum_k q_k dV_k/ddm = -sum_k q_k vints_k
         vfock = -jnp.asarray(np.einsum('k,kij->ij', q, vints))
         return e_solv, vfock
 
 
-def pcm_for_scf(mf, eps=78.3553, n_ang=110):
-    """Attach C-PCM to a mean-field object (reference _attach_solvent)."""
-    pcm = PCM(mf.mol, eps=eps, n_ang=n_ang)
+def pcm_for_scf(mf, eps=78.3553, n_ang=110, method='C-PCM'):
+    """Attach C-PCM/IEF-PCM to a mean-field object
+    (reference _attach_solvent)."""
+    pcm = PCM(mf.mol, eps=eps, n_ang=n_ang, method=method)
     mf.with_solvent = pcm
     veff_orig = mf.get_veff
     eelec_orig = mf.energy_elec

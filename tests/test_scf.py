@@ -214,3 +214,29 @@ def test_uhf_fused_ground_state_basin():
     u = pt.scf.UHF(molr)
     e = u.kernel()
     assert abs(e - (-74.36266919476718)) < 1e-8
+
+
+def test_ief_pcm():
+    """IEF-PCM close to C-PCM for high-eps solvent (same cavity)."""
+    from pyscf_tpu.solvent.pcm import pcm_for_scf
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    e0 = mol.RHF().kernel()
+    e1 = pcm_for_scf(mol.RHF(), method='C-PCM').kernel()
+    e2 = pcm_for_scf(mol.RHF(), method='IEF-PCM').kernel()
+    assert e1 < e0 and e2 < e0
+    assert abs((e2 - e0) - (e1 - e0)) < 5e-4
+
+
+def test_polarizability_response():
+    """Static polarizability via (A+B)^-1: positive definite, correct
+    symmetry; alpha_zz checked against finite-field dipole elsewhere."""
+    import numpy as np
+    from pyscf_tpu.prop.polarizability import Polarizability
+    mol = pt.M(atom=ATOM, basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    a = Polarizability(mf).kernel()
+    assert np.abs(a - a.T).max() < 1e-8
+    assert np.all(np.linalg.eigvalsh(a) > 0)
+    assert abs(a[2, 2] - 2.13129962) < 1e-5
