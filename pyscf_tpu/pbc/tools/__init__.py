@@ -52,3 +52,6 @@ def super_cell(cell, ncopy):
                    mesh=[n * c for n, c in zip(cell.mesh, ncopy)],
                    precision=cell.precision, verbose=0)
     return newcell.build()
+
+from . import k2gamma
+from .k2gamma import k2gamma_mo

@@ -415,6 +415,44 @@ class SCF:
             mu = mu * param.DEBYE
         return mu
 
+    def quad_moment(self, mol=None, dm=None):
+        """Traceless quadrupole moment (au); reference scf/hf.py:1486."""
+        mol = mol or self.mol
+        if dm is None:
+            dm = self.make_rdm1()
+        from ..ops.eval_gto import eval_ao  # noqa: F401 (doc pointer)
+        # <xy> integrals from dipole machinery: build r_i r_j via a
+        # finite set of 1e integrals is not yet kerneled; use the grid
+        from ..dft import gen_grid
+        grids = gen_grid.Grids(mol).build()
+        import numpy as _np
+        from ..ops.eval_gto import eval_ao as _eval
+        coords = _np.asarray(grids.coords)
+        w = _np.asarray(grids.weights)
+        ao = _np.asarray(_eval(mol, grids.coords, deriv=0))
+        rho = _np.einsum('gi,ij,gj->g', ao, _np.asarray(dm), ao)
+        el = -_np.einsum('g,gx,gy,g->xy', w, coords, coords, rho)
+        z = _np.asarray(mol.charges, dtype=float)
+        R = _np.asarray(mol.coords)
+        nuc = _np.einsum('a,ax,ay->xy', z, R, R)
+        q = el + nuc
+        return 1.5 * q - 0.5 * _np.trace(q) * _np.eye(3)
+
+    def analyze(self, verbose=None):
+        """Population/dipole summary (reference scf/hf.py:1213)."""
+        import numpy as _np
+        pop, chg = self.mulliken_pop()
+        mu = self.dip_moment()
+        print('SCF summary: E_tot = %.12f  converged = %s'
+              % (self.e_tot, self.converged))
+        print('Mulliken charges:')
+        for ia, c in enumerate(chg):
+            print('  atom %d %-2s  charge % .5f'
+                  % (ia, self.mol.elements_[ia], c))
+        print('Dipole moment (Debye): %.5f %.5f %.5f  |mu| = %.5f'
+              % (*mu, _np.linalg.norm(mu)))
+        return pop, chg, mu
+
     def mulliken_pop(self, mol=None, dm=None, s=None):
         mol = mol or self.mol
         if dm is None:
