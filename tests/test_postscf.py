@@ -272,3 +272,32 @@ def test_g0w0_ac_golden():
     gw.kernel(orbs=range(nocc - 1, nocc + 1))
     assert abs(gw.mo_energy[nocc - 1] - (-0.412849230989)) < 1e-4
     assert abs(gw.mo_energy[nocc] - 0.165745160102) < 1e-4
+
+
+def test_eom_ip_ea_ccsd_h2_exact():
+    """IP/EA-EOM-CCSD via the ghost-orbital embedding of the CC Jacobian:
+    exact for 2-electron systems (oracles: 1e H2+ and 3e FCI H2-)."""
+    import numpy as np
+    import scipy.linalg
+    from pyscf_tpu.cc.gccsd import GCCSD
+    from pyscf_tpu.cc.eom_gccsd import EOMIP, EOMEA
+    from pyscf_tpu.fci import direct_spin1
+    from pyscf_tpu import ao2mo
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cc = GCCSD(mf)
+    cc.conv_tol = 1e-12
+    cc.conv_tol_normt = 1e-10
+    cc.kernel()
+    ip = EOMIP(cc).kernel(nstates=1)
+    ea = EOMEA(cc).kernel(nstates=1)
+    h = np.asarray(mf.get_hcore())
+    s = np.asarray(mf.get_ovlp())
+    e_h2p = scipy.linalg.eigh(h, s, eigvals_only=True)[0] + mol.energy_nuc()
+    assert abs(ip[0] - (e_h2p - cc.e_tot)) < 1e-10
+    h1 = np.asarray(mf.mo_coeff.T @ mf.get_hcore() @ mf.mo_coeff)
+    eri_mo = np.asarray(ao2mo.full(mol.intor('int2e'), mf.mo_coeff))
+    e_anion, _ = direct_spin1.kernel(h1, eri_mo, 2, (2, 1))
+    assert abs(ea[0] - (e_anion + mol.energy_nuc() - cc.e_tot)) < 1e-10
