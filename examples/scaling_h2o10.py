@@ -1,8 +1,15 @@
 import time, json
 T0 = time.time()
 import numpy as np
-import pyscf_tpu as pt
 import jax
+# the axon TPU tunnel occasionally refuses a second client; retry
+for _attempt in range(60):
+    try:
+        jax.devices()
+        break
+    except RuntimeError:
+        time.sleep(10)
+import pyscf_tpu as pt
 
 # compact (H2O)10: two stacked pentagonal rings (O-O ~ 2.8 A), a standard
 # cluster motif; exact geometry is not pinned by the benchmark config

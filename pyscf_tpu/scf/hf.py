@@ -398,6 +398,22 @@ class SCF:
         from ..df.df_jk import density_fit
         return density_fit(self, auxbasis)
 
+    def newton(self):
+        """Second-order (quasi-Newton) SCF (reference mf.newton())."""
+        from ..soscf import newton
+        return newton(self)
+
+    def x2c(self):
+        """Spin-free X2C-1e relativistic hcore (reference mf.x2c())."""
+        from ..x2c import sfx2c1e
+        return sfx2c1e(self)
+
+    sfx2c1e = x2c
+
+    def PCM(self, eps=78.3553, method='C-PCM'):
+        from ..solvent.pcm import pcm_for_scf
+        return pcm_for_scf(self, eps=eps, method=method)
+
     def to_rhf(self):
         return self
 
