@@ -49,3 +49,39 @@ def load(basis_name, symbol):
 def available_basis():
     return sorted(f[:-8] for f in os.listdir(_DATA_DIR)
                   if f.endswith('.json.gz'))
+
+
+# ---------------------------------------------------------------------------
+# effective core potentials (reference: gto/basis/__init__.py load_ecp,
+# parse_nwchem_ecp.py) backed by gto/ecp_data/*.json.gz
+# ---------------------------------------------------------------------------
+_ECP_DIR = os.path.join(os.path.dirname(__file__), 'ecp_data')
+
+
+@lru_cache(maxsize=None)
+def _load_ecp_file(stem):
+    path = os.path.join(_ECP_DIR, stem + '.json.gz')
+    if not os.path.exists(path):
+        raise KeyError(f'Unknown ECP set: {stem!r} (no file {path})')
+    with gzip.open(path, 'rt') as f:
+        return json.load(f)
+
+
+def load_ecp(ecp_name, symbol):
+    """ECP for one element: [nelec_core, [[l, [[rpow, exp, c], ...]], ...]]
+    with l = -1 the local channel. Returns None if the element has no ECP
+    in this set (matching reference semantics for e.g. H with lanl2dz)."""
+    data = _load_ecp_file(normalize_name(ecp_name))
+    entry = data.get(symbol)
+    if entry is None:
+        return None
+    nelec, pots = entry
+    return [int(nelec), [[int(l), [list(r) for r in rows]]
+                         for l, rows in pots]]
+
+
+def available_ecp():
+    if not os.path.isdir(_ECP_DIR):
+        return []
+    return sorted(f[:-8] for f in os.listdir(_ECP_DIR)
+                  if f.endswith('.json.gz'))

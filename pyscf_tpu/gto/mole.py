@@ -108,9 +108,11 @@ class Mole:
 
     def __init__(self, atom=None, basis='sto-3g', unit='angstrom',
                  charge=0, spin=0, verbose=3, max_memory=param.MAX_MEMORY,
-                 cart=False, symmetry=False, nucmod=None, output=None):
+                 cart=False, symmetry=False, nucmod=None, output=None,
+                 ecp=None):
         self.atom = atom
         self.basis = basis
+        self.ecp = ecp
         self.unit = unit
         self.charge = charge
         self.spin = spin            # 2S = nalpha - nbeta
@@ -137,6 +139,30 @@ class Mole:
         self.charges = np.array([elements.charge(s) for s in self.raw_symbols],
                                 dtype=np.int32)
         self.natm = len(self.elements_)
+
+        # effective core potentials (reference: Mole.ecp, gto/mole.py
+        # make_ecp_env:1109). self.charges become EFFECTIVE charges
+        # (Z - nelec_core), used by both energy_nuc and int1e_nuc, matching
+        # the reference's convention (mole.atom_charge with ECP).
+        self._ecp = {}
+        if self.ecp:
+            ecp_of = {}
+            if isinstance(self.ecp, dict):
+                for k, v in self.ecp.items():
+                    ecp_of[k.capitalize()] = v
+            for ia, sym in enumerate(self.elements_):
+                name = (ecp_of.get(sym) if isinstance(self.ecp, dict)
+                        else self.ecp)
+                if name is None:
+                    continue
+                if isinstance(name, str):
+                    entry = basis_mod.load_ecp(name, sym)
+                else:
+                    entry = name   # raw [nelec, pots] data
+                if entry is None:
+                    continue
+                self._ecp[ia] = entry
+                self.charges[ia] -= entry[0]
 
         # per-element basis resolution
         if isinstance(self.basis, dict):
@@ -198,6 +224,18 @@ class Mole:
         return self
 
     # ------------------------------------------------------------------
+    @property
+    def has_ecp(self):
+        return bool(getattr(self, '_ecp', None))
+
+    def ecp_by_atom(self):
+        """{atom_index: [nelec_core, [[l, [[rpow, exp, c], ...]], ...]]}"""
+        return getattr(self, '_ecp', {})
+
+    def atom_nelec_core(self, ia):
+        e = getattr(self, '_ecp', {}).get(ia)
+        return e[0] if e else 0
+
     @property
     def nelectron(self):
         return int(self.charges.sum()) - self.charge

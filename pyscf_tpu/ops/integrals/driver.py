@@ -21,4 +21,7 @@ def intor(mol, name, **kwargs):
     if name == 'int2c2e':
         from . import int2e
         return int2e.int2c2e(mol)
+    if name.startswith('ECPscalar'):
+        from . import ecp
+        return ecp.ecp_scalar(mol)
     raise NotImplementedError(f'integral {name}')

@@ -22,7 +22,10 @@ from ..lib.linalg import canonical_orth, eigh_gen
 
 
 def get_hcore(mol):
-    return mol.intor('int1e_kin') + mol.intor('int1e_nuc')
+    h = mol.intor('int1e_kin') + mol.intor('int1e_nuc')
+    if mol.has_ecp:
+        h = h + mol.intor('ECPscalar')
+    return h
 
 
 def get_ovlp(mol):

@@ -61,12 +61,25 @@ def parse_nwchem(text):
         cur = None
         rows = []
 
+    in_ecp = False
     for raw in text.splitlines():
         line = raw.split('#')[0].rstrip()
         if not line.strip():
             continue
         u = line.strip()
-        if u.upper().startswith(('BASIS', 'END', 'ECP')):
+        if u.upper() == 'ECP':
+            # ECP parameter block: handled by convert_ecp.py, and its rows
+            # must NOT be parsed as basis shells
+            flush()
+            in_ecp = True
+            continue
+        if u.upper().startswith('END'):
+            flush()
+            in_ecp = False
+            continue
+        if in_ecp:
+            continue
+        if u.upper().startswith(('BASIS', 'ECP')):
             flush()
             continue
         toks = u.split()
