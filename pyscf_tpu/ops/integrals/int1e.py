@@ -229,3 +229,60 @@ def int1e_nuc(mol):
 @on_integral_device
 def int1e_r(mol):
     return _assemble(mol, r_chunk, ncomp=3)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def rinv_points_chunk(la, lb, a, b, A, B, w, points):
+    """<a| 1/|r-P_g| |b> per grid point: (C, npts, nca, ncb).
+
+    Backs the seminumerical-exchange (SGX/COSX) G-tensor (reference
+    sgx/sgx_jk.py _gen_batch_nuc -> fakemol int3c2e path)."""
+    p = a + b
+    P = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    E3 = e3d(la, lb, a, b, A, B)                  # (C, nca, ncb, ntuv)
+    PC = P[:, None, :] - points                   # (C, npts, 3)
+    R = hermite_R(la + lb, p[:, None], PC)        # (C, npts, ntuv)
+    return jnp.einsum('m,mpqt,mgt->mgpq', w * (2.0 * jnp.pi / p), E3, R)
+
+
+@on_integral_device
+def int1e_rinv_points(mol, points):
+    """(npts, nao, nao) tensor of 1/|r - r_g| integrals for given points."""
+    points = np.asarray(points)
+    npts = len(points)
+    nao = mol.nao
+    out = np.zeros((npts, nao, nao))
+    pts = jnp.asarray(points)
+    for la, ga in mol.shell_groups.items():
+        Sa = cart2sph(la)
+        ia = (ga.ao_off[:, None] + np.arange(2 * la + 1)).ravel()
+        for lb, gb in mol.shell_groups.items():
+            Sb = cart2sph(lb)
+            jb = (gb.ao_off[:, None] + np.arange(2 * lb + 1)).ravel()
+            a, b, A, B, w = _flatten_pairs(ga, gb)
+            m = a.size
+            nchunk = -(-m // CHUNK)
+            pad = nchunk * CHUNK - m
+            a = np.pad(a, (0, pad), constant_values=1.0)
+            b = np.pad(b, (0, pad), constant_values=1.0)
+            w = np.pad(w, (0, pad))
+            A = np.pad(A, ((0, pad), (0, 0)))
+            B = np.pad(B, ((0, pad), (0, 0)))
+            outs = []
+            for i in range(nchunk):
+                s = slice(i * CHUNK, (i + 1) * CHUNK)
+                blk = rinv_points_chunk(la, lb, jnp.asarray(a[s]),
+                                        jnp.asarray(b[s]), jnp.asarray(A[s]),
+                                        jnp.asarray(B[s]), jnp.asarray(w[s]),
+                                        pts)
+                outs.append(np.asarray(blk))
+            blk = np.concatenate(outs, axis=0)[:m]
+            nsa, Ka = ga.exps.shape
+            nsb, Kb = gb.exps.shape
+            nca = len(cart_components(la))
+            ncb = len(cart_components(lb))
+            blk = blk.reshape(nsa, nsb, Ka * Kb, npts, nca, ncb).sum(axis=2)
+            blk = np.einsum('mp,abgpq,nq->gambn', Sa, blk, Sb, optimize=True)
+            out[:, np.ix_(ia, jb)[0], np.ix_(ia, jb)[1]] = blk.reshape(
+                npts, ia.size, jb.size)
+    return jnp.asarray(out)

@@ -108,6 +108,9 @@ class SCF:
     def get_jk(self, mol=None, dm=None, hermi=1, with_j=True, with_k=True,
                omega=None):
         mol = mol or self.mol
+        if getattr(self, 'with_sgx', None) is not None:
+            return self.with_sgx.get_jk(dm, hermi=hermi, with_j=with_j,
+                                        with_k=with_k)
         if self.with_df is not None:
             from ..df.df_jk import get_jk as df_get_jk
             dfobj = self.with_df if not omega else self._df_lr(abs(omega))
@@ -272,6 +275,7 @@ class SCF:
                        'get_hcore'))
         return (self._fused_kind in ('restricted', 'unrestricted')
                 and not patched
+                and getattr(self, 'with_sgx', None) is None
                 and self.level_shift == 0
                 and getattr(self, 'sigma', None) in (None, 0))
 
@@ -400,6 +404,11 @@ class SCF:
     def density_fit(self, auxbasis=None):
         from ..df.df_jk import density_fit
         return density_fit(self, auxbasis)
+
+    def COSX(self, auxbasis=None):
+        """Seminumerical exchange (reference mf.COSX() / sgx.sgx_fit)."""
+        from ..sgx import sgx_fit
+        return sgx_fit(self, auxbasis)
 
     def newton(self):
         """Second-order (quasi-Newton) SCF (reference mf.newton())."""
