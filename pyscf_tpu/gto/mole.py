@@ -220,6 +220,15 @@ class Mole:
                 l, [shells[i] for i in idx], self.coords,
                 [self.ao_loc[i] for i in idx], idx)
 
+        # point-group detection (reference Mole.build symmetry branch,
+        # gto/mole.py:2476 -> symm.detect_symm)
+        self.topgroup = None
+        self.groupname = None
+        if self.symmetry:
+            from .. import symm as symm_mod
+            self.topgroup, _, _ = symm_mod.detect_symm(self)
+            self.groupname = symm_mod.largest_abelian_subgroup(self)[0]
+
         self._built = True
         return self
 
