@@ -137,7 +137,11 @@ def kernel(h1e, eri, norb, nelec, ecore=0.0, nroots=1, ci0=None,
         for i in range(nseed):
             x0[i, order[i]] = 1.0
     else:
-        x0 = np.asarray(ci0).ravel()
+        x0 = np.asarray(ci0)
+        if x0.size == na * nb:
+            x0 = x0.ravel()
+        else:                       # stacked multi-root guess
+            x0 = x0.reshape(-1, na * nb)
     e, vecs, conv = davidson(matvec, x0, neig=nroots, max_cycle=max_cycle,
                              tol=tol, hdiag=hdiag)
     if nroots == 1:

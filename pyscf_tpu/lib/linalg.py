@@ -64,23 +64,28 @@ def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
         H = Vm @ AVm.T
         H = 0.5 * (H + H.T)
         theta, S = np.linalg.eigh(H)
-        nroot = min(neig, len(theta))
+        # work with guard roots beyond the requested ones so a restart
+        # doesn't discard low-spectrum components the current Ritz set
+        # hasn't resolved yet (otherwise the solver can lock onto an
+        # excited eigenvector and report it converged)
+        nroot = min(neig + 2, len(theta))
         theta = theta[:nroot]
         S = S[:, :nroot]
-        X = S.T @ Vm                      # ritz vectors (neig, n)
+        X = S.T @ Vm                      # ritz vectors (nroot, n)
         AX = S.T @ AVm
         R = AX - theta[:, None] * X
         rnorm = np.linalg.norm(R, axis=1)
-        evals, evecs = theta, X
-        if np.all(rnorm < tol) or (theta_old is not None
-                                   and np.all(np.abs(theta - theta_old) < tol * 1e-2)
-                                   and np.all(rnorm < np.sqrt(tol))):
+        evals, evecs = theta[:neig], X[:neig]
+        if np.all(rnorm[:neig] < tol) or (
+                theta_old is not None
+                and np.all(np.abs(theta[:neig] - theta_old) < tol * 1e-2)
+                and np.all(rnorm[:neig] < np.sqrt(tol))):
             conv = True
             break
-        theta_old = theta
-        if len(V) + neig > max_space:
-            # restart with current ritz vectors
-            V = [X[i] / np.linalg.norm(X[i]) for i in range(neig)]
+        theta_old = theta[:neig]
+        if len(V) + nroot > max_space:
+            # restart with current ritz vectors (guards included)
+            V = [X[i] / np.linalg.norm(X[i]) for i in range(nroot)]
             AV = []
             continue
         for i in range(nroot):
