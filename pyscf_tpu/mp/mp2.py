@@ -85,5 +85,29 @@ class MP2:
         dm = dm.at[nocc:, nocc:].set(dvv)
         return dm
 
+    def make_fno(self, thresh=1e-6, nvir_act=None):
+        """Frozen-natural-orbital virtual space (reference mp/mp2.py
+        make_fno:217): diagonalize the MP2 virtual-virtual density and
+        keep NOs above the occupation threshold (or the nvir_act largest).
+
+        Returns (nvir_kept, no_coeff) where no_coeff is the full
+        (nao, nmo) coefficient matrix with the virtual block rotated to
+        natural orbitals, largest occupation first.
+        """
+        if self.t2 is None:
+            self.kernel()
+        t2 = self.t2
+        dvv = np.asarray(2 * jnp.einsum('iajb,icjb->ac', t2, t2)
+                         - jnp.einsum('iajb,ibjc->ac', t2, t2)) * 2.0
+        w, v = np.linalg.eigh(0.5 * (dvv + dvv.T))
+        w, v = w[::-1], v[:, ::-1]               # descending occupation
+        if nvir_act is None:
+            nvir_act = max(1, int(np.sum(w > thresh)))
+        occ = np.asarray(self.mo_occ) > 0
+        co = np.asarray(self.mo_coeff)[:, occ]
+        cv = np.asarray(self.mo_coeff)[:, ~occ]
+        no_coeff = np.hstack([co, cv @ v])
+        return nvir_act, no_coeff
+
 
 RMP2 = MP2

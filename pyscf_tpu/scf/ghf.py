@@ -62,6 +62,10 @@ class GHF(SCF):
         mol = mol or self.mol
         dm = super().get_init_guess(mol, key)
         dm = np.asarray(dm)
+        if dm.shape[-1] == 2 * mol.nao:
+            # guess built from spinor-sized operators (hcore/chk) --
+            # already in the GHF basis
+            return jnp.asarray(dm)
         nao = dm.shape[-1]
         out = np.zeros((2 * nao, 2 * nao))
         out[:nao, :nao] = dm * 0.5
