@@ -1,3 +1,5 @@
 """Coupled cluster (analog of reference pyscf/cc)."""
 from .ccsd import CCSD, RCCSD
 from .gccsd import GCCSD, UCCSD
+from .qcisd import QCISD
+from . import gccsd_t

@@ -42,17 +42,18 @@ def _spin_orbital_eris(mf):
             eri_sp[(s1, s2)] = np.asarray(ao2mo.general(
                 eri_ao, (c[s1], c[s1], c[s2], c[s2])))
     nso = 2 * nmo
-    eri_mo = np.zeros((nso, nso, nso, nso))
-    for P in range(nso):
-        for Q in range(nso):
-            if spins[P] != spins[Q]:
-                continue
-            for R in range(nso):
-                for S in range(nso):
-                    if spins[R] != spins[S]:
-                        continue
-                    eri_mo[P, Q, R, S] = eri_sp[(spins[P], spins[R])][
-                        orbs[P], orbs[Q], orbs[R], orbs[S]]
+    # vectorized scatter: eri_mo[P,Q,R,S] = eri_sp[(sP,sR)][oP,oQ,oR,oS]
+    # when sP==sQ and sR==sS, else 0
+    eri_blk = np.stack([np.stack([eri_sp[(0, 0)], eri_sp[(0, 1)]]),
+                        np.stack([eri_sp[(1, 0)], eri_sp[(1, 1)]])])
+    sP = spins[:, None, None, None]
+    sQ = spins[None, :, None, None]
+    sR = spins[None, None, :, None]
+    sS = spins[None, None, None, :]
+    eri_mo = eri_blk[sP, sR,
+                     orbs[:, None, None, None], orbs[None, :, None, None],
+                     orbs[None, None, :, None], orbs[None, None, None, :]]
+    eri_mo = eri_mo * ((sP == sQ) & (sR == sS))
     # physicists' antisymmetrized
     phys = eri_mo.transpose(0, 2, 1, 3)
     asym = phys - phys.transpose(0, 1, 3, 2)

@@ -1,0 +1,126 @@
+"""QCISD, spin-orbital (T), GMP2, FNO tests.
+
+Oracles: QCISD is exact for two-electron systems (Pople 1987); the
+spin-orbital (T) must reproduce the spatial RCCSD(T) for closed shells;
+GMP2 must reproduce RMP2 (closed shell) and UMP2 (open shell). Golden
+CH4/cc-pVDZ QCISD value from reference cc/test/test_qcisd.py:62 runs in
+the slow tier.
+"""
+import numpy as np
+import pytest
+
+import pyscf_tpu as pt
+from pyscf_tpu import fci
+from pyscf_tpu.cc.ccsd import CCSD
+from pyscf_tpu.cc.gccsd import GCCSD
+from pyscf_tpu.cc.gccsd_t import kernel as gccsd_t_kernel
+from pyscf_tpu.cc.qcisd import QCISD
+from pyscf_tpu.mp.gmp2 import GMP2
+from pyscf_tpu.mp.mp2 import MP2
+from pyscf_tpu.scf.ghf import GHF
+
+
+@pytest.fixture(scope='module')
+def h2o_sto3g():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    return mol, mf
+
+
+def test_qcisd_two_electron_exact():
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='cc-pvdz')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    qc = QCISD(mf)
+    qc.kernel()
+    assert qc.converged
+    efci, _ = fci.FCI(mf).kernel()
+    assert abs(qc.e_tot - efci) < 1e-7
+
+
+def test_gmp2_vs_rmp2(h2o_sto3g):
+    mol, mf = h2o_sto3g
+    mp = MP2(mf)
+    mp.kernel()
+    gmf = GHF(mol)
+    gmf.init_guess = 'hcore'
+    gmf.kernel()
+    assert abs(float(gmf.e_tot) - float(mf.e_tot)) < 1e-8
+    gmp = GMP2(gmf)
+    ecg, _ = gmp.kernel()
+    assert abs(ecg - mp.e_corr) < 1e-8
+
+
+def test_gmp2_vs_ump2_open_shell():
+    from pyscf_tpu.mp.ump2 import UMP2
+    from pyscf_tpu.scf.uhf import UHF
+    mol = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1)
+    umf = UHF(mol)
+    umf.kernel()
+    ump = UMP2(umf)
+    ump.kernel()
+    gmf = GHF(mol)
+    gmf.kernel()
+    gmp = GMP2(gmf)
+    ecg, _ = gmp.kernel()
+    assert abs(float(gmf.e_tot) - float(umf.e_tot)) < 1e-7
+    assert abs(ecg - ump.e_corr) < 1e-7
+
+
+def test_gccsd_t_vs_rccsd_t(h2o_sto3g):
+    mol, mf = h2o_sto3g
+    rcc = CCSD(mf)
+    rcc.kernel()
+    et_r = rcc.ccsd_t()
+    gcc = GCCSD(mf)
+    gcc.kernel()
+    assert abs(gcc.e_corr - rcc.e_corr) < 1e-7
+    et_g = gccsd_t_kernel(gcc._eris_so, gcc._mo_e_so, gcc._nocc_so,
+                          gcc.t1, gcc.t2)
+    assert abs(et_g - et_r) < 1e-8
+
+
+def test_mp2_fno(h2o_sto3g):
+    mol, mf = h2o_sto3g
+    mp = MP2(mf)
+    mp.kernel()
+    nvir_act, no_coeff = mp.make_fno(thresh=1e-10)
+    # keeping every NO reproduces full MP2 (orbital-rotation invariance
+    # of the virtual space)
+    nocc = mol.nelectron // 2
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    assert abs(no_coeff.T @ s @ no_coeff - np.eye(mol.nao)).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_qcisd_ch4_golden():
+    """Reference cc/test/test_qcisd.py:62: CH4/cc-pVDZ frozen=1
+    QCISD e_tot = -40.3839884."""
+    mol = pt.M(atom="""C  0.000  0.000  0.000
+                       H  0.637  0.637  0.637
+                       H -0.637 -0.637  0.637
+                       H -0.637  0.637 -0.637
+                       H  0.637 -0.637 -0.637""", basis='cc-pvdz')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    qc = QCISD(mf, frozen=1)
+    qc.kernel()
+    assert qc.converged
+    assert abs(qc.e_tot - -40.3839884) < 1e-6
+@pytest.mark.slow
+def test_qcisd_t_ne_golden():
+    """Reference cc/test/test_qcisd.py:79: Ne/cc-pVDZ frozen=1
+    QCISD(T) e_tot = -128.6788843055109."""
+    mol = pt.M(atom="Ne 0 0 0", basis="cc-pvdz")
+    mf = mol.RHF()
+    mf.init_guess = "hcore"
+    mf.kernel()
+    qc = QCISD(mf, frozen=1)
+    qc.kernel()
+    et = qc.qcisd_t()
+    assert abs(qc.e_tot + et - -128.6788843055109) < 1e-6
