@@ -63,6 +63,8 @@ class CASCI:
         self.e_tot = e_tot
         self.ci = ci
         self.e_cas = e_tot - ecore
+        if getattr(self.fcisolver, 'e_states', None) is not None:
+            self.e_states = np.asarray(self.fcisolver.e_states)
         if self.verbose >= 4:
             print(f'CASCI E = {e_tot:.12f}')
         return e_tot, self.e_cas, ci
@@ -74,7 +76,7 @@ class CASCI:
         ci = ci if ci is not None else self.ci
         mo = mo_coeff if mo_coeff is not None else self.mo_coeff
         ncore, ncas = self.ncore, self.ncas
-        casdm1 = direct_spin1.make_rdm1(ci, ncas, self.nelecas)
+        casdm1 = self.fcisolver.make_rdm1(ci, ncas, self.nelecas)
         mo_core = mo[:, :ncore]
         mo_cas = mo[:, ncore:ncore + ncas]
         dm = 2.0 * mo_core @ mo_core.T

@@ -76,8 +76,8 @@ class CASSCF(CASCI):
         for it in range(self.max_cycle_macro):
             e_tot, e_cas, ci = CASCI.kernel(self, jnp.asarray(mo), ci0_)
             ci0_ = self.ci
-            casdm1, casdm2 = direct_spin1.make_rdm12(self.ci, self.ncas,
-                                                     self.nelecas)
+            casdm1, casdm2 = self.fcisolver.make_rdm12(self.ci, self.ncas,
+                                                       self.nelecas)
             mo_it = mo
 
             def fun(x):

@@ -1,0 +1,41 @@
+"""State-average CASSCF and AVAS active-space selection tests."""
+import numpy as np
+import pytest
+
+import pyscf_tpu as pt
+from pyscf_tpu.mcscf import CASCI, CASSCF, avas, state_average_
+
+
+@pytest.fixture(scope='module')
+def h2o():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    return mol, mf
+
+
+def test_avas(h2o):
+    mol, mf = h2o
+    ncas, nelecas, mo = avas(mf, ['O 2p', 'H 1s'])
+    assert ncas == 6 and nelecas == (4, 4)
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    assert abs(mo.T @ s @ mo - np.eye(mol.nao)).max() < 1e-8
+    mc = CASCI(mf, ncas, nelecas)
+    e, _, _ = mc.kernel(mo_coeff=np.asarray(mo))
+    assert e < float(mf.e_tot) - 1e-6
+
+
+def test_state_average_casscf(h2o):
+    mol, mf = h2o
+    mc = CASSCF(mf, 4, 4)
+    state_average_(mc, (0.5, 0.5))
+    e_avg, _, ci = mc.kernel()
+    assert len(ci) == 2
+    assert mc.e_states[0] < mc.e_states[1]
+    assert abs(e_avg - 0.5 * (mc.e_states[0] + mc.e_states[1])) < 1e-9
+    # the SA ground state lies above the state-specific optimum
+    mc_ss = CASSCF(mf, 4, 4)
+    e_gs, _, _ = mc_ss.kernel()
+    assert mc.e_states[0] > e_gs - 1e-6
