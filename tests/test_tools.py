@@ -1,0 +1,44 @@
+"""File-format tool tests (wfn export)."""
+import numpy as np
+
+import pyscf_tpu as pt
+from pyscf_tpu.ops.eval_gto import eval_gto
+from pyscf_tpu.tools import wfn_format
+
+
+def test_wfn_primitive_expansion():
+    """The cartesian-primitive expansion must reproduce the spherical-AO
+    MO values pointwise (machine precision)."""
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='cc-pvdz')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    mo = np.asarray(mf.mo_coeff)
+    centers, types, exps, prim = wfn_format.primitive_expansion(mol, mo)
+    rng = np.random.RandomState(0)
+    pts = rng.rand(25, 3) * 2 - 1
+    mo_ref = np.asarray(eval_gto(mol, 'GTOval', pts)) @ mo
+    t2t = {v: k for k, v in wfn_format._TYPE.items()}
+    coords = np.asarray(mol.coords)
+    mo_prim = np.zeros_like(mo_ref)
+    for p in range(len(exps)):
+        d = pts - coords[centers[p]]
+        a, b, c = t2t[types[p]]
+        g = (d[:, 0] ** a * d[:, 1] ** b * d[:, 2] ** c
+             * np.exp(-exps[p] * np.sum(d * d, axis=1)))
+        mo_prim += np.outer(g, prim[p])
+    assert abs(mo_prim - mo_ref).max() < 1e-10
+
+
+def test_wfn_write(tmp_path):
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g')
+    mf = mol.RHF()
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    fn = str(tmp_path / 'h2.wfn')
+    wfn_format.write_scf(fn, mf)
+    txt = open(fn).read()
+    assert 'GAUSSIAN' in txt
+    assert 'END DATA' in txt
+    assert 'OCC NO =    2.0000000' in txt
