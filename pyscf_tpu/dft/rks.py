@@ -90,6 +90,13 @@ class RKS(KohnShamDFT, RHF):
         if self.grids.coords is None:
             self.grids.build()
         n, exc, vxc = self._numint.nr_rks(mol, self.grids, self.xc, dm)
+        if getattr(self, 'nlc', ''):
+            from .vv10 import nr_vv10
+            e_nlc, v_nlc = nr_vv10(mol, self.grids, dm,
+                                   b=getattr(self, 'nlc_b', 5.9),
+                                   C=getattr(self, 'nlc_C', 0.0093))
+            exc = exc + e_nlc
+            vxc = vxc + v_nlc
         omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
         if hyb == 0.0 and not omega:
             vj = self.get_j(mol, dm)

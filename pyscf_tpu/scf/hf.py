@@ -276,6 +276,7 @@ class SCF:
         return (self._fused_kind in ('restricted', 'unrestricted')
                 and not patched
                 and getattr(self, 'with_sgx', None) is None
+                and not getattr(self, 'nlc', '')
                 and self.level_shift == 0
                 and getattr(self, 'sigma', None) in (None, 0))
 
