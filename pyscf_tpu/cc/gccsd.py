@@ -122,7 +122,9 @@ def _gccsd_update(t1, t2, eris, mo_e, nocc_arr):
     # T2
     Fae_mod = Fae - 0.5 * jnp.einsum('mb,me->be', t1, Fme)
     Fmi_mod = Fmi + 0.5 * jnp.einsum('je,me->mj', t1, Fme)
-    t2new = oovv * 1.0
+    # driving term <ab||ij> = conj(<ij||ab>) (complex Bloch orbitals;
+    # no-op for real molecular integrals -- reference cc/gccsd.py:74)
+    t2new = jnp.conj(oovv)
     tmp = jnp.einsum('ijae,be->ijab', t2, Fae_mod)
     t2new = t2new + tmp - tmp.transpose(0, 1, 3, 2)
     tmp = jnp.einsum('imab,mj->ijab', t2, Fmi_mod)
@@ -177,9 +179,9 @@ class GCCSD:
         eia = mo_e[:nocc, None] - mo_e[None, nocc:]
         eijab = eia[:, None, :, None] + eia[None, :, None, :]
         oovv = eris[o, o, v, v]
-        t2 = oovv / eijab
-        t1 = jnp.zeros((nocc, nvir))
-        emp2 = float(_gccsd_energy(t1, t2, oovv))
+        t2 = jnp.conj(oovv) / eijab
+        t1 = jnp.zeros((nocc, nvir), dtype=eris.dtype)
+        emp2 = float(_gccsd_energy(t1, t2, oovv).real)
         if self.verbose >= 4:
             print(f'GMP2 E_corr = {emp2:.12f}')
         diis = DIIS(self.diis_space)
@@ -190,7 +192,7 @@ class GCCSD:
             normt = float(jnp.linalg.norm(t1n - t1)
                           + jnp.linalg.norm(t2n - t2))
             t1, t2 = diis.update((t1n, t2n), (t1n - t1, t2n - t2))
-            e_corr = float(_gccsd_energy(t1, t2, oovv))
+            e_corr = float(_gccsd_energy(t1, t2, oovv).real)
             de = e_corr - e_last
             e_last = e_corr
             if self.verbose >= 4:

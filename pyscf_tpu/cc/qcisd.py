@@ -17,7 +17,7 @@ from .gccsd import _spin_orbital_eris
 
 
 def _qcisd_energy(t2, oovv):
-    return 0.25 * jnp.einsum('ijab,ijab->', oovv, t2)
+    return (0.25 * jnp.einsum('ijab,ijab->', oovv, t2)).real
 
 
 @jax.jit
@@ -55,7 +55,7 @@ def _qcisd_update(t1, t2, eris, mo_e, nocc_arr):
              - 0.5 * jnp.einsum('imef,maef->ia', t2, ovvv)
              - 0.5 * jnp.einsum('mnae,nmei->ia', t2, oovo))
     # T2: linear T1 (bare vvvo/ovoo) + linear and quadratic T2
-    t2new = oovv * 1.0
+    t2new = jnp.conj(oovv)
     tmp = jnp.einsum('ijae,be->ijab', t2, Fae)
     t2new = t2new + tmp - tmp.transpose(0, 1, 3, 2)
     tmp = jnp.einsum('imab,mj->ijab', t2, Fmi)
@@ -107,8 +107,8 @@ class QCISD:
         eia = mo_e[:nocc, None] - mo_e[None, nocc:]
         eijab = eia[:, None, :, None] + eia[None, :, None, :]
         oovv = eris[o, o, v, v]
-        t2 = oovv / eijab
-        t1 = jnp.zeros((nocc, nvir))
+        t2 = jnp.conj(oovv) / eijab
+        t1 = jnp.zeros((nocc, nvir), dtype=eris.dtype)
         diis = DIIS(self.diis_space)
         e_last = float(_qcisd_energy(t2, oovv))
         conv = False
