@@ -10,3 +10,4 @@ def KS(mol, xc='lda,vwn'):
     if mol.spin == 0:
         return RKS(mol, xc=xc)
     return UKS(mol, xc=xc)
+from .rkspu import RKSpU, linear_response_u
