@@ -3,3 +3,4 @@ from .ccsd import CCSD, RCCSD
 from .gccsd import GCCSD, UCCSD
 from .qcisd import QCISD
 from . import gccsd_t
+from .bccd import bccd_kernel_

@@ -124,3 +124,22 @@ def test_qcisd_t_ne_golden():
     qc.kernel()
     et = qc.qcisd_t()
     assert abs(qc.e_tot + et - -128.6788843055109) < 1e-6
+
+
+@pytest.mark.slow
+def test_bccd():
+    """Brueckner CC: singles vanish, energy close to CCSD (reference
+    cc/test/test_addons.py test_bccd_kernel_ asserts the same)."""
+    from pyscf_tpu.cc.bccd import bccd_kernel_
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='6-31g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    gcc = GCCSD(mf)
+    gcc.kernel()
+    e_ccsd = float(gcc.e_tot)
+    e_bccd, normt1, mo = bccd_kernel_(gcc, max_cycle=25)
+    assert normt1 < 1e-4
+    assert abs(e_bccd - e_ccsd) < 0.005
