@@ -3,8 +3,8 @@ from . import cistring, direct_spin1, direct_spin0, spin_op, addons, rdm
 from .direct_spin1 import kernel, contract_2e, make_hdiag, make_rdm1, make_rdm12
 from .spin_op import spin_square, contract_ss
 from .addons import fix_spin_, kernel_fixed_spin
-from .rdm import (make_rdm1s, make_rdm123, trans_rdm1, trans_rdm1s,
-                  trans_rdm12)
+from .rdm import (make_rdm1s, make_rdm123, make_rdm1234, trans_rdm1,
+                  trans_rdm1s, trans_rdm12)
 
 
 class FCI:

@@ -133,3 +133,65 @@ def make_rdm123(ci0, norb, nelec):
     for q in range(norb):
         dm3[:, q, :, :, q, :] -= m
     return dm1, dm2, dm3
+
+
+def make_rdm1234(ci0, norb, nelec):
+    """(dm1, dm2, dm3, dm4), all normal-ordered:
+    dm4[p,q,r,s,t,u,v,w] = <p+ r+ t+ v+ w u s q>.
+
+    Memory: the t2 stack is norb^4 * ndet doubles (reference analog:
+    pyscf/fci/rdm.py make_dm1234 via lib/mcscf/fci_4pdm.c).
+    """
+    na_e, nb_e = _unpack_nelec(nelec)
+    na = cistring.num_strings(norb, na_e)
+    nb = cistring.num_strings(norb, nb_e)
+    n2 = norb * norb
+    dm1, dm2, dm3 = make_rdm123(ci0, norb, nelec)
+    t1, c = _t1_tensor(ci0, norb, nelec)
+    t1f = np.asarray(t1).reshape(n2, -1)
+    t2 = np.zeros((n2, n2, na * nb))
+    for tu in range(n2):
+        t2[:, tu] = np.asarray(
+            _apply_epq_all(t1[tu], norb, nelec)).reshape(n2, -1)
+    t2f = t2.reshape(n2 * n2, -1)
+    # raw strings: G2 = <E_pq E_rs>, G3 = <E_pq E_rs E_tu>,
+    # G4[pq,rs,tu,vw] = <E_sr E_qp c | E_tu E_vw c>
+    g2 = (t1f @ t1f.T).reshape((norb,) * 4).transpose(1, 0, 2, 3)
+    g3 = (t1f @ t2f.T).reshape((norb,) * 6).transpose(1, 0, 2, 3, 4, 5)
+    g4 = (t2f @ t2f.T).reshape((norb,) * 8)
+    # t2[ab, cd] applies E_ab E_cd; bra side needs E_sr E_qp -> index
+    # [s, r, q, p] on the first four axes
+    g4 = g4.transpose(3, 2, 1, 0, 4, 5, 6, 7)   # -> [p,q,r,s,tu,vw]
+
+    # normal-order via the spin-free recursion
+    #   e4[pq,rs,tu,vw] = E_pq e3[rs,tu,vw] - d_qr e3[ps,tu,vw]
+    #                     - d_qt e3[rs,pu,vw] - d_qv e3[rs,tu,pw]
+    # expanded against the raw strings (element-wise validated in
+    # tests/test_fci_extras.py):
+    #   dm4 = G4 - d_uv G3[pq,rs,tw]
+    #         - d_st G3[pq,ru,vw] + d_st d_uv G2[pq,rw]
+    #         - d_sv G3[pq,tu,rw] + d_sv d_ur G2[pq,tw]
+    #         - d_qr dm3[ps,tu,vw] - d_qt dm3[rs,pu,vw] - d_qv dm3[rs,tu,pw]
+    dm4 = g4.copy()
+    for u in range(norb):
+        dm4[:, :, :, :, :, u, u, :] -= g3
+    for s in range(norb):
+        dm4[:, :, :, s, s, :, :, :] -= g3
+    for s in range(norb):
+        for u in range(norb):
+            dm4[:, :, :, s, s, u, u, :] += g2
+    m = g3.transpose(0, 1, 4, 2, 3, 5)      # m[p,q,r,t,u,w] = g3[p,q,t,u,r,w]
+    for s in range(norb):
+        dm4[:, :, :, s, :, :, s, :] -= m
+    for s in range(norb):
+        for u in range(norb):
+            dm4[:, :, u, s, :, u, s, :] += g2
+    for q in range(norb):
+        dm4[:, q, q, :, :, :, :, :] -= dm3
+    m = dm3.transpose(2, 0, 1, 3, 4, 5)     # m[p,r,s,u,v,w] = dm3[r,s,p,u,v,w]
+    for q in range(norb):
+        dm4[:, q, :, :, q, :, :, :] -= m
+    m = dm3.transpose(4, 0, 1, 2, 3, 5)     # m[p,r,s,t,u,w] = dm3[r,s,t,u,p,w]
+    for q in range(norb):
+        dm4[:, q, :, :, :, :, q, :] -= m
+    return dm1, dm2, dm3, dm4

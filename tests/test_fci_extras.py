@@ -118,3 +118,32 @@ def test_rdm1s_sums(h4_like):
     dt = direct_spin1.make_rdm1(c, norb, (2, 2))
     assert abs(da + db - np.asarray(dt)).max() < 1e-10
     assert abs(np.trace(da) - 2.0) < 1e-10
+
+
+def test_rdm1234_vs_bruteforce():
+    np.random.seed(5)
+    norb, nelec = 3, (2, 1)
+    na = cistring.num_strings(norb, 2)
+    nb = cistring.num_strings(norb, 1)
+    ci = np.random.rand(na, nb) - 0.5
+    ci /= np.linalg.norm(ci)
+    d1, d2, d3, d4 = rdm.make_rdm1234(ci, norb, nelec)
+    for idx in itertools.islice(itertools.product(range(norb), repeat=8),
+                                0, None, 131):
+        p, q, r, s, t, u, v, w = idx
+        val = 0.0
+        for s1 in (0, 1):
+            for s2 in (0, 1):
+                for s3 in (0, 1):
+                    for s4 in (0, 1):
+                        x, _ = ops.apply_op(
+                            ci, norb, nelec,
+                            [(p, s1, True), (r, s2, True), (t, s3, True),
+                             (v, s4, True), (w, s4, False), (u, s3, False),
+                             (s, s2, False), (q, s1, False)])
+                        if x is not None:
+                            val += np.sum(ci * x)
+        assert abs(d4[idx] - val) < 1e-10
+    # partial trace: sum_w dm4[...,w,w] = (N-3) dm3  (N=3 -> zero)
+    pt4 = np.einsum('pqrstuww->pqrstu', d4)
+    assert abs(pt4 - 0.0 * d3).max() < 1e-10
