@@ -1,1 +1,3 @@
 from .hf import RHF
+from .khf import KRHF
+from .kuhf import KUHF
