@@ -38,3 +38,4 @@ def optimize(mf_factory, mol, maxsteps=50, gtol=3e-4, use_analytic=True):
         options={'maxiter': maxsteps, 'gtol': gtol, 'norm': np.inf})
     mol.set_geom_(res.x.reshape(-1, 3))
     return mol, energies
+from . import internal

@@ -61,10 +61,15 @@ class GWAC:
         self.mo_energy = None
         self.qp_converged = None
 
-    def kernel(self, orbs=None):
+    def kernel(self, orbs=None, mo_energy=None):
+        """mo_energy overrides the orbital energies entering G and W
+        (the evGW outer loop); the QP equation stays anchored at the SCF
+        eigenvalues."""
         mf = self._scf
         mol = self.mol
-        mo_e = np.asarray(mf.mo_energy)
+        mo_e_scf = np.asarray(mf.mo_energy)
+        mo_e = np.asarray(mo_energy if mo_energy is not None
+                          else mf.mo_energy)
         mo_c = np.asarray(mf.mo_coeff)
         occ = np.asarray(mf.mo_occ)
         nocc_full = int((occ > 0).sum())
@@ -72,6 +77,7 @@ class GWAC:
         frz = self.frozen
         act = slice(frz, nmo_full)
         e = mo_e[act]
+        e_scf = mo_e_scf[act]
         c = mo_c[:, act]
         nocc = nocc_full - frz
         nmo = e.shape[0]
@@ -134,7 +140,7 @@ class GWAC:
                 sig += -wt / np.pi * np.asarray(
                     wc_diag(omega, wp_grid, p))
             pade = _thiele_pade(1j * np.asarray(wp_grid), sig)
-            e0 = e[p]
+            e0 = e_scf[p]
             ep = e0
             conv = False
             for it in range(self.max_cycle):
@@ -150,6 +156,9 @@ class GWAC:
             mo_energy[frz + p] = ep
         self.mo_energy = mo_energy
         self.qp_converged = conv_all
+        self.Lpq = np.asarray(L)
+        self.nocc = nocc_full
+        self.mo_coeff = mo_c
         return mo_energy
 
 

