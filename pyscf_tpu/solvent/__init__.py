@@ -1,2 +1,3 @@
 """Implicit solvation (analog of reference pyscf/solvent)."""
 from .pcm import PCM, pcm_for_scf, cosmo_for_scf
+from .smd import SMD, smd_for_scf, get_cds
