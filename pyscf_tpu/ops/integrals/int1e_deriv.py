@@ -267,3 +267,95 @@ def int1e_pnucp(mol):
     z[:mol.natm] = mol.charges
     return _assemble(mol, pnucp_chunk,
                      extra=(jnp.asarray(coords), jnp.asarray(z)))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def ipnucip_chunk(la, lb, a, b, A, B, w, atom_coords, atom_charges):
+    """<d_d a| V_nuc |d_e b> for all (d, e): (9, C, nca, ncb), row-major
+    over (d, e). Backs the spin-orbit pV x p integrals for spinor X2C."""
+    p = a + b
+    P = (a[:, None] * A + b[:, None] * B) / p[:, None]
+    L = la + lb + 2
+    E = {}
+    for da in (1, -1):
+        for db in (1, -1):
+            if la + da < 0 or lb + db < 0:
+                continue
+            E[(da, db)] = e3d(la + da, lb + db, a, b, A, B)
+    PC = P[:, None, :] - atom_coords
+    R = hermite_R(L, p[:, None], PC)
+    RZ = jnp.einsum('mct,c->mt', R, atom_charges)
+    pref = w * (2.0 * jnp.pi / p)
+
+    def vblock(da, db, ca_idx, cb_idx):
+        e3 = E[(da, db)]
+        nt = e3.shape[-1]
+        return -jnp.einsum('m,mt,mt->m', pref,
+                           e3[:, ca_idx, cb_idx, :], RZ[:, :nt])
+
+    carts_a = cart_components(la)
+    carts_b = cart_components(lb)
+    idx = {}
+    for da in (1, -1):
+        if la + da >= 0:
+            idx[('a', da)] = {c: i for i, c in
+                              enumerate(cart_components(la + da))}
+    for db in (1, -1):
+        if lb + db >= 0:
+            idx[('b', db)] = {c: i for i, c in
+                              enumerate(cart_components(lb + db))}
+
+    comps = []
+    for d in range(3):
+        for e in range(3):
+            rows = []
+            for ca in carts_a:
+                cols = []
+                for cb in carts_b:
+                    ua = tuple(ca[k] + (1 if k == d else 0)
+                               for k in range(3))
+                    ub = tuple(cb[k] + (1 if k == e else 0)
+                               for k in range(3))
+                    t = 4.0 * a * b * vblock(1, 1, idx[('a', 1)][ua],
+                                             idx[('b', 1)][ub])
+                    if cb[e] >= 1:
+                        db_ = tuple(cb[k] - (1 if k == e else 0)
+                                    for k in range(3))
+                        t = t - 2.0 * a * cb[e] * vblock(
+                            1, -1, idx[('a', 1)][ua], idx[('b', -1)][db_])
+                    if ca[d] >= 1:
+                        da_ = tuple(ca[k] - (1 if k == d else 0)
+                                    for k in range(3))
+                        t = t - 2.0 * b * ca[d] * vblock(
+                            -1, 1, idx[('a', -1)][da_], idx[('b', 1)][ub])
+                        if cb[e] >= 1:
+                            t = t + ca[d] * cb[e] * vblock(
+                                -1, -1, idx[('a', -1)][da_],
+                                idx[('b', -1)][db_])
+                    cols.append(t)
+                rows.append(jnp.stack(cols, axis=-1))
+            comps.append(jnp.stack(rows, axis=-2))
+    return jnp.stack(comps)
+
+
+@on_integral_device
+def int1e_ipnucip(mol):
+    """(3, 3, nao, nao): <d_d mu|V_nuc|d_e nu>."""
+    from .int1e import _assemble, ATOM_PAD
+    natm_pad = -(-mol.natm // ATOM_PAD) * ATOM_PAD
+    coords = np.zeros((natm_pad, 3))
+    coords[:mol.natm] = mol.coords
+    z = np.zeros(natm_pad)
+    z[:mol.natm] = mol.charges
+    out = _assemble(mol, ipnucip_chunk, ncomp=9,
+                    extra=(jnp.asarray(coords), jnp.asarray(z)))
+    return out.reshape(3, 3, mol.nao, mol.nao)
+
+
+@on_integral_device
+def int1e_pnucxp(mol):
+    """(3, nao, nao): the spin-orbit vector (p V x p)_x = W[y,z]-W[z,y]."""
+    wde = np.asarray(int1e_ipnucip(mol))
+    return jnp.stack([wde[1, 2] - wde[2, 1],
+                      wde[2, 0] - wde[0, 2],
+                      wde[0, 1] - wde[1, 0]])
