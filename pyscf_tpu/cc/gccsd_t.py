@@ -28,13 +28,19 @@ def _et_batch(ijk, wts, tensors, mo_parts, nocc, st_fac):
         i, j, k = idx[0], idx[1], idx[2]
 
         def base_w(ii, jj, kk):
-            # sum_e t2[jj,kk,a,e] <e ii||b c>  -  sum_m t2[ii,m,b,c] <m a||jj kk>
-            w = jnp.einsum('ae,ebc->abc', t2[jj, kk], vovv[:, ii])
-            w -= jnp.einsum('mbc,ma->abc', t2[ii], ovoo[:, :, jj, kk])
+            # <Phi_ijk^abc|V T2|0> for complex orbitals: the particle-line
+            # term needs conj(<e i||b c>), the hole-line term the
+            # unconjugated <m a||j k> (pinned by phase-rotation invariance
+            # of E(T) in tests; no-op for real orbitals)
+            w = jnp.einsum('ae,ebc->abc', t2[jj, kk],
+                           jnp.conj(vovv[:, ii]))
+            w -= jnp.einsum('mbc,ma->abc', t2[ii],
+                            ovoo[:, :, jj, kk])
             return w
 
         def base_v(ii, jj, kk):
-            return t1[ii][:, None, None] * oovv[jj, kk][None, :, :]
+            return t1[ii][:, None, None] * jnp.conj(
+                oovv[jj, kk][None, :, :])
 
         def p_ijk(f):
             return f(i, j, k) - f(j, i, k) - f(k, j, i)
@@ -47,7 +53,8 @@ def _et_batch(ijk, wts, tensors, mo_parts, nocc, st_fac):
         vv = p_abc(p_ijk(base_v))
         d = (eo[i] + eo[j] + eo[k]
              - ev[:, None, None] - ev[None, :, None] - ev[None, None, :])
-        return jnp.sum(w * (w + st_fac * vv) / d)
+        # complex Bloch orbitals: t3 = conj(W)/D, E = sum (W + V) t3
+        return jnp.sum(jnp.conj(w) * (w + st_fac * vv) / d).real
 
     return jnp.sum(wts * jax.vmap(one)(ijk))
 

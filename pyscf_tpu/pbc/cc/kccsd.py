@@ -134,5 +134,14 @@ class KRCCSD:
 
     run = kernel
 
+    def ccsd_t(self):
+        """Perturbative triples per cell (complex Bloch spin-orbitals;
+        reference pbc/cc/kccsd_t.py analog). Validated against the
+        supercell oracle in tests/test_kccsd.py."""
+        from ...cc.gccsd_t import kernel as t_kernel
+        eris, mo_e, nocc = _bloch_spin_orbital_eris(self._scf)
+        return t_kernel(np.asarray(eris), np.asarray(mo_e), nocc,
+                        self.t1, self.t2) / self.nkpts
+
 
 KCCSD = KRCCSD

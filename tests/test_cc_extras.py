@@ -143,3 +143,54 @@ def test_bccd():
     e_bccd, normt1, mo = bccd_kernel_(gcc, max_cycle=25)
     assert normt1 < 1e-4
     assert abs(e_bccd - e_ccsd) < 0.005
+
+
+def test_ccsd_t_phase_invariance():
+    """E(T) must be invariant under per-orbital complex phase rotations
+    (pins the conjugation placement of the complex triples formula)."""
+    import jax.numpy as jnp
+    from pyscf_tpu.cc import gccsd_t
+    from pyscf_tpu.cc.gccsd import (_gccsd_energy, _gccsd_update,
+                                    _spin_orbital_eris)
+    from pyscf_tpu.lib.diis import DIIS
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    eris0, mo_e, nocc, spins, orbs = _spin_orbital_eris(mf)
+    eris0 = np.asarray(eris0)
+    mo_e = np.asarray(mo_e)
+    nso = len(mo_e)
+
+    def run_cc(eris):
+        eris = jnp.asarray(eris)
+        o = slice(0, nocc)
+        v = slice(nocc, None)
+        eia = jnp.asarray(mo_e[:nocc, None] - mo_e[None, nocc:])
+        eijab = eia[:, None, :, None] + eia[None, :, None, :]
+        oovv = eris[o, o, v, v]
+        t2 = jnp.conj(oovv) / eijab
+        t1 = jnp.zeros((nocc, nso - nocc), dtype=eris.dtype)
+        diis = DIIS(6)
+        e_last = 0.0
+        for it in range(80):
+            t1n, t2n = _gccsd_update(t1, t2, eris, jnp.asarray(mo_e),
+                                     jnp.asarray(nocc))
+            normt = float(jnp.linalg.norm(t1n - t1)
+                          + jnp.linalg.norm(t2n - t2))
+            t1, t2 = diis.update((t1n, t2n), (t1n - t1, t2n - t2))
+            ec = float(_gccsd_energy(t1, t2, oovv).real)
+            if abs(ec - e_last) < 1e-10 and normt < 1e-8:
+                break
+            e_last = ec
+        return ec, gccsd_t.kernel(np.asarray(eris), mo_e, nocc, t1, t2)
+
+    ec0, et0 = run_cc(eris0)
+    rng = np.random.RandomState(3)
+    ph = np.exp(1j * rng.rand(nso) * 2 * np.pi)
+    erisc = eris0 * np.einsum('p,q,r,s->pqrs', ph.conj(), ph.conj(), ph, ph)
+    ec1, et1 = run_cc(erisc)
+    assert abs(ec1 - ec0) < 1e-10
+    assert abs(et1 - et0) < 1e-12

@@ -50,3 +50,24 @@ def test_kccsd_vs_supercell():
     ccs = KRCCSD(mfs)
     ecs, _, _ = ccs.kernel()
     assert abs(eck - ecs / 2) < 1e-6
+
+
+@pytest.mark.slow
+def test_kccsd_t_vs_supercell():
+    from pyscf_tpu.pbc.tools import super_cell
+    cell = Cell(mesh=[11] * 3, **DIAMOND).build()
+    mf = KRHF(cell, kpts=cell.make_kpts([2, 1, 1]))
+    mf.conv_tol = 1e-9
+    mf.kernel()
+    cc = KRCCSD(mf)
+    cc.kernel()
+    et_k = cc.ccsd_t()
+    sc = super_cell(cell, [2, 1, 1])
+    sc.mesh = [22, 11, 11]
+    mfs = KRHF(sc, kpts=sc.make_kpts([1, 1, 1]))
+    mfs.conv_tol = 1e-9
+    mfs.kernel()
+    ccs = KRCCSD(mfs)
+    ccs.kernel()
+    et_s = ccs.ccsd_t()
+    assert abs(et_k - et_s / 2) < 1e-7
