@@ -7,3 +7,4 @@ def ADC(mf, frozen=None, method='adc(2)'):
 
 
 __all__ = ['ADC', 'RADC', 'RADCIP', 'RADCEA']
+from .radc_ee import ADC2EE
