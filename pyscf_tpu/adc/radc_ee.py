@@ -32,6 +32,12 @@ class ADC2EE:
     conv_tol = 1e-7
     max_cycle = 120
     method = 'adc(2)'       # 'adc(1)' drops M2 + coupling (= CIS)
+    # experimentation knobs for the second-order ph/ph weights (the
+    # documented ~5 mHa deviation is invariant under any single (x, t)
+    # rescaling -- the missing piece is additional exchange-type term
+    # shapes, not coefficients; see module docstring)
+    m2_x = 1.0              # coefficient of the delta-type M2 terms
+    m2_t = -1.0             # coefficient of the cross M2 term
 
     def __init__(self, mf, frozen=0):
         self._scf = mf
@@ -90,11 +96,11 @@ class ADC2EE:
             s1 = -eia * r1
             s1 += jnp.einsum('ajib,jb->ia', eris[v, o, o, v], r1)
             # M2 terms
-            s1 += jnp.einsum('ab,ib->ia', Xvv, r1)
-            s1 += jnp.einsum('ij,ja->ia', Yoo, r1)
+            s1 += self.m2_x * jnp.einsum('ab,ib->ia', Xvv, r1)
+            s1 += self.m2_x * jnp.einsum('ij,ja->ia', Yoo, r1)
             tmp = 0.5 * (jnp.einsum('ikac,jkbc->iajb', t2, oovv)
                          + jnp.einsum('ikac,jkbc->iajb', oovv, t2))
-            s1 -= jnp.einsum('iajb,jb->ia', tmp, r1)
+            s1 += self.m2_t * jnp.einsum('iajb,jb->ia', tmp, r1)
             # ph <- 2p2h: C = -<kl||id> d_ac + <kl||ic> d_ad
             #             + <al||cd> d_ik - <ak||cd> d_il
             # (signs pinned against explicit second quantization); over the
