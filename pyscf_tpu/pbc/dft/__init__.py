@@ -1,1 +1,3 @@
 from .rks import RKS
+from .krks import KRKS
+from .kuks import KUKS

@@ -93,3 +93,19 @@ def test_sharded_kmp2():
     ec_serial, _ = KMP2(mf).kernel()
     ec_shard = kernel_sharded(mf)
     assert abs(ec_serial - ec_shard) < 1e-9
+
+
+@pytest.mark.slow
+def test_kuks_vs_krks():
+    """Closed-shell KUKS == KRKS (spin-resolved XC consistency)."""
+    from pyscf_tpu.pbc.dft.krks import KRKS
+    from pyscf_tpu.pbc.dft.kuks import KUKS
+    cell = Cell(mesh=[11] * 3, **DIAMOND).build()
+    kpts = cell.make_kpts([2, 1, 1])
+    mfr = KRKS(cell, kpts=kpts, xc='lda,vwn')
+    mfr.conv_tol = 1e-9
+    er = mfr.kernel()
+    mfu = KUKS(cell, kpts=kpts, xc='lda,vwn')
+    mfu.conv_tol = 1e-9
+    eu = mfu.kernel()
+    assert abs(er - eu) < 1e-8
