@@ -125,3 +125,47 @@ def test_tda_lda_golden(hf_631g):
     td.nstates = 5
     es = td.kernel() * EV
     assert abs(fp(es) - -41.201828219760415) < 1e-4
+
+
+def test_tda_uhf_uks_closed_shell_union():
+    """Closed-shell TDA-UHF/UKS == union of the restricted singlet and
+    triplet spectra (each once, as the ms=0 components)."""
+    from pyscf_tpu.dft.uks import UKS
+    from pyscf_tpu.scf.uhf import UHF
+    from pyscf_tpu.tdscf.uhf import TDAUHF
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    tds = TDA(mf)
+    tds.nstates = 4
+    es = tds.kernel()
+    tdt = TDA(mf)
+    tdt.nstates = 4
+    tdt.singlet = False
+    et = tdt.kernel()
+    union = np.sort(np.concatenate([es, et]))
+    umf = UHF(mol)
+    umf.conv_tol = 1e-12
+    umf.kernel()
+    eu = TDAUHF(umf).kernel(nstates=6)
+    assert abs(np.sort(eu) - union[:6]).max() < 1e-6
+
+    mfk = pt.dft.RKS(mol, xc='pbe,pbe')
+    mfk.conv_tol = 1e-10
+    mfk.kernel()
+    tds = TDA(mfk)
+    tds.nstates = 3
+    esk = tds.kernel()
+    tdt = TDA(mfk)
+    tdt.nstates = 3
+    tdt.singlet = False
+    etk = tdt.kernel()
+    unionk = np.sort(np.concatenate([esk, etk]))
+    umfk = UKS(mol, xc='pbe,pbe')
+    umfk.conv_tol = 1e-10
+    umfk.kernel()
+    euk = TDAUHF(umfk).kernel(nstates=4)
+    assert abs(np.sort(euk) - unionk[:4]).max() < 1e-6
