@@ -19,6 +19,10 @@ def _spin_orbital_eris(mf):
     mo_c = np.asarray(mf.mo_coeff)
     mo_e = np.asarray(mf.mo_energy)
     mo_o = np.asarray(mf.mo_occ)
+    if mo_c.ndim == 2 and mo_c.shape[0] == 2 * mol.nao:
+        # spinor coefficients (GHF / converted GHF / X2C): the chemist
+        # MO ERI sums the alpha and beta AO blocks in every pair density
+        return _spinor_eris(mol, eri_ao, mo_c, mo_e, mo_o)
     if mo_c.ndim == 2:              # RHF -> duplicate
         mo_c = np.stack([mo_c, mo_c])
         mo_e = np.stack([mo_e, mo_e])
@@ -58,6 +62,29 @@ def _spin_orbital_eris(mf):
     phys = eri_mo.transpose(0, 2, 1, 3)
     asym = phys - phys.transpose(0, 1, 3, 2)
     return jnp.asarray(asym), jnp.asarray(energies), nocc, spins, orbs
+
+
+def _spinor_eris(mol, eri_ao, mo_c, mo_e, mo_o):
+    """<PQ||RS> for general (possibly complex) 2-spinor coefficients."""
+    nao = mol.nao
+    order = np.lexsort((mo_e, ~(mo_o > 0)))
+    c = mo_c[:, order]
+    e = mo_e[order]
+    occ = mo_o[order] > 0
+    nocc = int(occ.sum())
+    ca = jnp.asarray(c[:nao])
+    cb = jnp.asarray(c[nao:])
+    eri = jnp.asarray(np.asarray(eri_ao).reshape((nao,) * 4))
+    half = (jnp.einsum('uvls,up,vq->pqls', eri, ca.conj(), ca)
+            + jnp.einsum('uvls,up,vq->pqls', eri, cb.conj(), cb))
+    full = (jnp.einsum('pqls,lr,sw->pqrw', half, ca.conj(), ca)
+            + jnp.einsum('pqls,lr,sw->pqrw', half, cb.conj(), cb))
+    phys = full.transpose(0, 2, 1, 3)
+    asym = phys - phys.transpose(0, 1, 3, 2)
+    nmo = c.shape[1]
+    spins = np.zeros(nmo, dtype=int)
+    orbs = np.arange(nmo)
+    return asym, jnp.asarray(e), nocc, spins, orbs
 
 
 @jax.jit

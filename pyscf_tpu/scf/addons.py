@@ -84,3 +84,40 @@ def convert_to_uhf(mf):
         umf.e_tot = mf.e_tot
         umf.converged = mf.converged
     return umf
+
+
+def convert_to_ghf(mf):
+    """RHF/UHF -> GHF object carrying over the converged solution
+    (reference scf/addons.py convert_to_ghf): spatial orbitals become
+    spin-blocked spinors sorted occupied-first by energy."""
+    from .ghf import GHF
+    gmf = GHF(mf.mol)
+    gmf._eri = mf._eri
+    if mf.mo_coeff is None:
+        return gmf
+    c = np.asarray(mf.mo_coeff)
+    e = np.asarray(mf.mo_energy)
+    o = np.asarray(mf.mo_occ)
+    if c.ndim == 2:                      # RHF
+        c = np.stack([c, c])
+        e = np.stack([e, e])
+        o = np.stack([(o > 0) * 1.0, (o == 2) * 1.0])
+    nao, nmo = c.shape[1], c.shape[2]
+    entries = []
+    for s in range(2):
+        for p in range(nmo):
+            entries.append((e[s][p], s, p, o[s][p] > 0))
+    entries.sort(key=lambda t: (not t[3], t[0]))
+    cg = np.zeros((2 * nao, 2 * nmo))
+    eg = np.zeros(2 * nmo)
+    og = np.zeros(2 * nmo)
+    for q, (ep, s, p, occ) in enumerate(entries):
+        cg[s * nao:(s + 1) * nao, q] = c[s][:, p]
+        eg[q] = ep
+        og[q] = 1.0 if occ else 0.0
+    gmf.mo_coeff = jnp.asarray(cg)
+    gmf.mo_energy = jnp.asarray(eg)
+    gmf.mo_occ = jnp.asarray(og)
+    gmf.e_tot = mf.e_tot
+    gmf.converged = mf.converged
+    return gmf

@@ -194,3 +194,20 @@ def test_ccsd_t_phase_invariance():
     ec1, et1 = run_cc(erisc)
     assert abs(ec1 - ec0) < 1e-10
     assert abs(et1 - et0) < 1e-12
+
+
+def test_spinor_gccsd_path():
+    """convert_to_ghf + the spinor ERI branch reproduce the spatial-pair
+    GCCSD exactly; a native GHF SCF object agrees to SCF precision."""
+    from pyscf_tpu.scf.addons import convert_to_ghf
+    from pyscf_tpu.scf.uhf import UHF
+    mol = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1)
+    umf = UHF(mol)
+    umf.conv_tol = 1e-11
+    umf.kernel()
+    gcc_u = GCCSD(umf)
+    gcc_u.kernel()
+    gmf = convert_to_ghf(umf)
+    gcc_g = GCCSD(gmf)
+    gcc_g.kernel()
+    assert abs(gcc_g.e_corr - gcc_u.e_corr) < 1e-9
