@@ -53,3 +53,39 @@ def add_mm_charges(mf, coords_mm, charges_mm, unit='angstrom'):
 
 
 mm_charge = add_mm_charges
+
+
+def mm_gradient(mf, coords_mm, charges_mm, dm=None, unit='angstrom'):
+    """Forces on the MM point charges from the converged QM density,
+    dE/dR_mm (reference analog: qmmm/itrf.py mm_charge_grad).
+
+    The electronic part is the Hellmann-Feynman field of the density at
+    each charge (int1e_iprinv with the charge as the operator center);
+    the nuclear part is the classical Coulomb force. FD-validated in
+    tests/test_qmmm_grad.py.
+    """
+    from ..lib.parameters import BOHR
+    from ..ops.integrals.int1e_deriv import int1e_iprinv
+    mol = mf.mol
+    coords_mm = np.asarray(coords_mm, dtype=float).reshape(-1, 3)
+    if unit.lower().startswith('a'):
+        coords_mm = coords_mm / BOHR
+    charges_mm = np.asarray(charges_mm, dtype=float)
+    if dm is None:
+        dm = np.asarray(mf.make_rdm1())
+    if dm.ndim == 3:
+        dm = dm[0] + dm[1]
+    z = np.asarray(mol.charges, dtype=float)
+    rq = np.asarray(mol.coords)
+    out = np.zeros_like(coords_mm)
+    for k in range(len(charges_mm)):
+        # electronic: E_el = -q Tr(dm <1/|r-C|>); with the codebase's
+        # iprinv convention iprinv = -d<1/|r-C|>/dC (same sign set the
+        # validated nuclear gradients use), so dE_el/dC = +q Tr(dm iprinv)
+        ip = np.asarray(int1e_iprinv(mol, coords_mm[k]))
+        out[k] += charges_mm[k] * np.einsum('xij,ij->x', ip, dm)
+        # nuclear-MM Coulomb force
+        d = coords_mm[k] - rq
+        r3 = np.linalg.norm(d, axis=1) ** 3
+        out[k] -= charges_mm[k] * np.einsum('a,ax->x', z / r3, d)
+    return out
