@@ -1,0 +1,84 @@
+"""Device-mesh sharding tests (8 virtual CPU devices via conftest).
+
+Each sharded primitive must reproduce its serial counterpart exactly:
+DF-JK (aux axis), XC (grid axis), and the full sharded SCF step.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pyscf_tpu as pt
+from pyscf_tpu.parallel.mesh import (default_mesh, pad_to_multiple,
+                                     sharded_df_jk, sharded_scf_step,
+                                     sharded_xc)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    from pyscf_tpu.df import DF
+    df = DF(mol, 'def2-universal-jkfit').build()
+    mf = mol.RHF()
+    dm = jnp.asarray(mf.get_init_guess(mol, 'minao'))
+    mesh = default_mesh(8, axis='aux')
+    return mol, df, dm, mesh
+
+
+def test_sharded_df_jk(setup):
+    mol, df, dm, mesh = setup
+    B = pad_to_multiple(df.cderi, 8)
+    jk = sharded_df_jk(mesh)
+    vj_s, vk_s = jk(B, dm)
+    rho = jnp.einsum('pkl,lk->p', B, dm)
+    vj_ref = jnp.einsum('p,pij->ij', rho, B)
+    Bd = jnp.einsum('pil,lk->pik', B, dm)
+    vk_ref = jnp.einsum('pik,pkj->ij', Bd, B)
+    assert abs(np.asarray(vj_s) - np.asarray(vj_ref)).max() < 1e-12
+    assert abs(np.asarray(vk_s) - np.asarray(vk_ref)).max() < 1e-12
+
+
+def test_sharded_xc(setup):
+    mol, df, dm, mesh = setup
+    from pyscf_tpu.dft import gen_grid
+    grids = gen_grid.Grids(mol)
+    grids.atom_grid = {'H': (20, 50), 'O': (20, 50)}
+    grids.prune = None
+    grids.build()
+    coords = pad_to_multiple(jnp.asarray(grids.coords), 8)
+    weights = pad_to_multiple(jnp.asarray(grids.weights), 8)
+    run = sharded_xc(mesh, mol, 'pbe,pbe')
+    n, exc, vxc = run(coords, weights, dm)
+    # serial reference on the same (padded) grid
+    mesh1 = default_mesh(1, axis='aux')
+    run1 = sharded_xc(mesh1, mol, 'pbe,pbe')
+    n1, exc1, vxc1 = run1(coords, weights, dm)
+    assert abs(float(n) - float(n1)) < 1e-10
+    assert abs(float(exc) - float(exc1)) < 1e-10
+    assert abs(np.asarray(vxc) - np.asarray(vxc1)).max() < 1e-10
+
+
+def test_sharded_scf_step(setup):
+    mol, df, dm, mesh = setup
+    from pyscf_tpu.dft import gen_grid
+    from pyscf_tpu.lib.linalg import canonical_orth
+    grids = gen_grid.Grids(mol)
+    grids.atom_grid = {'H': (20, 50), 'O': (20, 50)}
+    grids.prune = None
+    grids.build()
+    coords = pad_to_multiple(jnp.asarray(grids.coords), 8)
+    weights = pad_to_multiple(jnp.asarray(grids.weights), 8)
+    B = pad_to_multiple(df.cderi, 8)
+    h1e = mol.intor('int1e_kin') + mol.intor('int1e_nuc')
+    x = canonical_orth(mol.intor('int1e_ovlp'))
+    step8 = sharded_scf_step(mesh, mol, xc_code='b3lypg')
+    e8, dm8 = step8(B, coords, weights, dm, h1e, x, 0.2)
+    step1 = sharded_scf_step(default_mesh(1, axis='aux'), mol,
+                             xc_code='b3lypg')
+    e1, dm1 = step1(B, coords, weights, dm, h1e, x, 0.2)
+    assert abs(float(e8) - float(e1)) < 1e-10
+    assert abs(np.asarray(dm8) - np.asarray(dm1)).max() < 1e-10
+    # electron count conserved through the step
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    assert abs(float(np.trace(np.asarray(dm8) @ s)) - mol.nelectron) < 1e-8
