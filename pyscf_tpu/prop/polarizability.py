@@ -30,3 +30,29 @@ class Polarizability:
         return self.alpha
 
     run = kernel
+
+
+def dynamic_polarizability(mf, omegas):
+    """Frequency-dependent alpha(w) from the TDHF/TDDFT excitation
+    spectrum (sum over states):
+
+      alpha_xy(w) = sum_n 2 w_n d_n,x d_n,y / (w_n^2 - w^2)
+
+    with d_n the transition dipoles of the full (A, B) response problem.
+    At w=0 this equals the static CPHF/CPKS polarizability (oracle in
+    tests/test_prop_dynamic.py).
+    """
+    from ..tdscf.rhf import TDHF
+    mol = mf.mol
+    occ = np.asarray(mf.mo_occ) > 0
+    nov = int(occ.sum()) * int((~occ).sum())
+    td = TDHF(mf)
+    td.nstates = nov                    # full spectrum (dense Casida)
+    e = np.asarray(td.kernel())
+    dips = np.asarray(td.transition_dipole())      # (nstates, 3)
+    omegas = np.atleast_1d(np.asarray(omegas, dtype=float))
+    out = np.zeros((len(omegas), 3, 3))
+    for i, w in enumerate(omegas):
+        denom = e ** 2 - w ** 2
+        out[i] = np.einsum('n,nx,ny->xy', 2.0 * e / denom, dips, dips)
+    return out
