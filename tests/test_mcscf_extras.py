@@ -39,3 +39,14 @@ def test_state_average_casscf(h2o):
     mc_ss = CASSCF(mf, 4, 4)
     e_gs, _, _ = mc_ss.kernel()
     assert mc.e_states[0] > e_gs - 1e-6
+
+
+def test_dmet_cas(h2o):
+    from pyscf_tpu.mcscf.dmet_cas import guess_cas
+    mol, mf = h2o
+    ncas, nelecas, mo = guess_cas(mf, ['O 2p', 'H 1s'])
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    assert abs(mo.T @ s @ mo - np.eye(mol.nao)).max() < 1e-8
+    mc = CASCI(mf, ncas, nelecas)
+    e, _, _ = mc.kernel(mo_coeff=np.asarray(mo))
+    assert e < float(mf.e_tot) - 1e-6
