@@ -76,3 +76,38 @@ def read(filename):
                 h2[a, b, c, d] = v
     return {'H1': h1, 'H2': h2, 'NORB': norb, 'NELEC': nelec,
             'MS2': ms2, 'ECORE': ecore}
+
+
+def to_scf(filename, max_cycle=100, conv_tol=1e-10):
+    """Run an RHF SCF directly on FCIDUMP integrals (reference
+    tools/fcidump.py scf_from_fcidump): the orthonormal-orbital Fock is
+    iterated with DIIS in the dump's own basis.
+
+    Returns (e_tot, mo_energy, mo_coeff, dm) with everything expressed in
+    the FCIDUMP orbital basis.
+    """
+    from ..lib.diis import DIIS
+    data = read(filename)
+    h1 = data['H1']
+    h2 = data['H2']
+    norb = data['NORB']
+    nocc = data['NELEC'] // 2
+    ecore = data['ECORE']
+    dm = np.zeros((norb, norb))
+    np.fill_diagonal(dm[:nocc, :nocc], 2.0)
+    diis = DIIS(8)
+    e_last = 0.0
+    for cyc in range(max_cycle):
+        vj = np.einsum('pqrs,sr->pq', h2, dm)
+        vk = np.einsum('prqs,sr->pq', h2, dm)
+        f = h1 + vj - 0.5 * vk
+        e = ecore + np.einsum('pq,qp->', h1, dm) \
+            + 0.5 * np.einsum('pq,qp->', vj - 0.5 * vk, dm)
+        err = f @ dm - dm @ f
+        f = np.asarray(diis.update(f, err))
+        w, c = np.linalg.eigh(f)
+        dm = 2.0 * c[:, :nocc] @ c[:, :nocc].T
+        if abs(e - e_last) < conv_tol and np.abs(err).max() < 1e-6:
+            break
+        e_last = e
+    return float(e), w, c, dm

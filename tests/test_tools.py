@@ -42,3 +42,18 @@ def test_wfn_write(tmp_path):
     assert 'GAUSSIAN' in txt
     assert 'END DATA' in txt
     assert 'OCC NO =    2.0000000' in txt
+
+
+def test_fcidump_to_scf_roundtrip(tmp_path):
+    """SCF rerun from a dumped FCIDUMP reproduces the original energy."""
+    from pyscf_tpu.tools import fcidump
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    e0 = mf.kernel()
+    fn = str(tmp_path / 'h2o.fcidump')
+    fcidump.from_scf(mf, fn)
+    e1, w, c, dm = fcidump.to_scf(fn)
+    assert abs(e1 - float(e0)) < 1e-9
