@@ -3,3 +3,4 @@ from .cisd_amp import CISD
 from .cisd import CISD as CISD_det
 
 RCISD = CISD
+from .gcisd import GCISD, UCISD
