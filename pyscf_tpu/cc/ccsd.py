@@ -204,7 +204,12 @@ class CCSD:
     def kernel(self, t1=None, t2=None):
         t_start = time.time()
         eris = self._eris = self.ao2mo()
+        t1_in, t2_in = t1, t2
         emp2, t1, t2 = self.init_amps(eris)
+        if t1_in is not None and t2_in is not None:
+            # restart amplitudes (chkfile resume or user-provided guess)
+            t1 = jnp.asarray(t1_in)
+            t2 = jnp.asarray(t2_in)
         if self.verbose >= 4:
             print(f'MP2 initial guess E_corr = {emp2:.12f}')
         eris_tuple = (eris.oooo, eris.ooov, eris.oovv, eris.ovov, eris.ovvo,
@@ -226,6 +231,8 @@ class CCSD:
             if self.verbose >= 4:
                 print(f'cycle = {it + 1}  E_corr(CCSD) = {e_corr:.12f}  '
                       f'dE = {de:.3g}  norm(t1,t2) = {normt:.3g}')
+            if getattr(self, 'chkfile', None):
+                self.dump_chk(t1, t2, e_corr)
             if abs(de) < self.conv_tol and normt < self.conv_tol_normt:
                 conv = True
                 break
@@ -239,6 +246,25 @@ class CCSD:
         return self.e_corr, t1, t2
 
     run = kernel
+
+    def dump_chk(self, t1=None, t2=None, e_corr=None):
+        """Per-cycle amplitude checkpoint (reference cc/ccsd.py
+        restore_from_diis_ analog, HDF5 via lib/chkfile)."""
+        from ..lib import chkfile as chk
+        chk.dump(self.chkfile, 'ccsd/t1',
+                 np.asarray(t1 if t1 is not None else self.t1))
+        chk.dump(self.chkfile, 'ccsd/t2',
+                 np.asarray(t2 if t2 is not None else self.t2))
+        if e_corr is not None:
+            chk.dump(self.chkfile, 'ccsd/e_corr', float(e_corr))
+
+    def restore_from_chk_(self, chkfile=None):
+        """Resume the iteration from checkpointed amplitudes."""
+        from ..lib import chkfile as chk
+        fn = chkfile or self.chkfile
+        t1 = chk.load(fn, 'ccsd/t1')
+        t2 = chk.load(fn, 'ccsd/t2')
+        return self.kernel(t1=jnp.asarray(t1), t2=jnp.asarray(t2))
 
     def ccsd_t(self, t1=None, t2=None):
         from .ccsd_t import kernel as t_kernel

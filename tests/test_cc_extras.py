@@ -211,3 +211,28 @@ def test_spinor_gccsd_path():
     gcc_g = GCCSD(gmf)
     gcc_g.kernel()
     assert abs(gcc_g.e_corr - gcc_u.e_corr) < 1e-9
+
+
+def test_ccsd_chkfile_resume(tmp_path):
+    """Per-cycle amplitude checkpoint + resume reaches the converged
+    answer (reference cc/ccsd.py restore_from_diis_ analog)."""
+    from pyscf_tpu.cc.ccsd import CCSD
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    fn = str(tmp_path / 'cc.chk')
+    cc1 = CCSD(mf)
+    cc1.chkfile = fn
+    cc1.max_cycle = 5
+    cc1.kernel()
+    assert not cc1.converged
+    cc2 = CCSD(mf)
+    cc2.chkfile = fn
+    ec, t1, t2 = cc2.restore_from_chk_()
+    assert cc2.converged
+    cc3 = CCSD(mf)
+    cc3.kernel()
+    assert abs(ec - cc3.e_corr) < 1e-7
