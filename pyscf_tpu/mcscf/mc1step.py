@@ -103,6 +103,8 @@ class CASSCF(CASCI):
                 print(f'macro {it + 1}  E = {e_tot:.12f}  '
                       f'|g_orb| = {gnorm:.3e}  |kappa| = '
                       f'{np.linalg.norm(res.x):.3e}')
+            if getattr(self, 'chkfile', None):
+                self.dump_chk(mo, e_tot)
             if e_last is not None and abs(e_tot - e_last) < self.conv_tol \
                     and np.linalg.norm(res.x) < self.conv_tol_grad:
                 conv = True
@@ -114,3 +116,32 @@ class CASSCF(CASCI):
         return e_tot, e_cas, self.ci
 
     run = kernel
+
+    def dump_chk(self, mo=None, e_tot=None):
+        """Per-macro-iteration checkpoint (reference mcscf/chkfile.py)."""
+        from ..lib import chkfile as chk
+        chk.dump(self.chkfile, 'mcscf/mo_coeff',
+                 np.asarray(mo if mo is not None else self.mo_coeff))
+        ci = self.ci
+        if isinstance(ci, (list, tuple)):
+            for i, c in enumerate(ci):
+                chk.dump(self.chkfile, f'mcscf/ci_{i}', np.asarray(c))
+            chk.dump(self.chkfile, 'mcscf/nroots', len(ci))
+        else:
+            chk.dump(self.chkfile, 'mcscf/ci_0', np.asarray(ci))
+            chk.dump(self.chkfile, 'mcscf/nroots', 1)
+        if e_tot is not None:
+            chk.dump(self.chkfile, 'mcscf/e_tot', float(e_tot))
+
+    def restore_from_chk_(self, chkfile=None):
+        """Resume the macro-iteration from checkpointed orbitals/CI."""
+        from ..lib import chkfile as chk
+        fn = chkfile or self.chkfile
+        mo = chk.load(fn, 'mcscf/mo_coeff')
+        nroots = int(chk.load(fn, 'mcscf/nroots'))
+        if nroots == 1:
+            ci0 = np.asarray(chk.load(fn, 'mcscf/ci_0'))
+        else:
+            ci0 = [np.asarray(chk.load(fn, f'mcscf/ci_{i}'))
+                   for i in range(nroots)]
+        return self.kernel(mo_coeff=np.asarray(mo), ci0=ci0)

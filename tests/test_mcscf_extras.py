@@ -50,3 +50,20 @@ def test_dmet_cas(h2o):
     mc = CASCI(mf, ncas, nelecas)
     e, _, _ = mc.kernel(mo_coeff=np.asarray(mo))
     assert e < float(mf.e_tot) - 1e-6
+
+
+def test_casscf_chkfile_resume(h2o, tmp_path):
+    mol, mf = h2o
+    fn = str(tmp_path / 'mc.chk')
+    mc1 = CASSCF(mf, 4, 4)
+    mc1.chkfile = fn
+    mc1.max_cycle_macro = 2
+    mc1.kernel()
+    assert not mc1.converged
+    mc2 = CASSCF(mf, 4, 4)
+    mc2.chkfile = fn
+    e2, _, _ = mc2.restore_from_chk_()
+    assert mc2.converged
+    mc3 = CASSCF(mf, 4, 4)
+    e3, _, _ = mc3.kernel()
+    assert abs(e2 - e3) < 1e-7
