@@ -18,6 +18,17 @@ def _emp2_from_ovov(ovov, eia):
     return ed + ex, t2
 
 
+@jax.jit
+def _emp2_os_ss(ovov, eia):
+    """(E_os, E_ss) opposite-/same-spin components (closed shell):
+    E_os = sum (ia|jb) t_iajb; E_ss = sum (ia|jb)(t_iajb - t_ibja)."""
+    denom = (eia[:, :, None, None] + eia[None, None, :, :])
+    t2 = ovov / denom
+    e_os = jnp.einsum('iajb,iajb->', ovov, t2)
+    e_ss = e_os - jnp.einsum('iajb,ibja->', ovov, t2)
+    return e_os, e_ss
+
+
 class MP2:
     def __init__(self, mf, frozen=0, mo_coeff=None, mo_occ=None):
         self._scf = mf
@@ -84,6 +95,18 @@ class MP2:
         dm = dm.at[:nocc, :nocc].set(doo + 2 * jnp.eye(nocc))
         dm = dm.at[nocc:, nocc:].set(dvv)
         return dm
+
+    def energy_scs(self, p_os=1.2, p_ss=1.0 / 3.0):
+        """Spin-component-scaled MP2 (Grimme 2003: 1.2/os + 1/3 ss);
+        SOS-MP2 via energy_scs(1.3, 0.0) (Jung 2004). Reference analog:
+        the os/ss split of mp/mp2.py. (1, 1) recovers plain MP2."""
+        occ = np.asarray(self.mo_occ) > 0
+        e = jnp.asarray(self.mo_energy)
+        eo = e[occ][self.frozen:]
+        ev = e[~occ]
+        eia = eo[:, None] - ev[None, :]
+        e_os, e_ss = _emp2_os_ss(self.get_ovov(), eia)
+        return float(p_os * e_os + p_ss * e_ss)
 
     def make_fno(self, thresh=1e-6, nvir_act=None):
         """Frozen-natural-orbital virtual space (reference mp/mp2.py
