@@ -17,7 +17,7 @@ def _emp2_uhf(ovov_aa, ovov_bb, ovov_ab, eia_a, eia_b):
     d_ab = eia_a[:, :, None, None] + eia_b[None, None, :, :]
     t2_ab = ovov_ab / d_ab
     e_ab = jnp.einsum('iajb,iajb->', ovov_ab, t2_ab)
-    return e_aa + e_bb + e_ab
+    return e_aa + e_bb + e_ab, e_ab, e_aa + e_bb
 
 
 class UMP2:
@@ -50,8 +50,18 @@ class UMP2:
         ovov_aa = ao2mo.general(eri_ao, (cos[0], cvs[0], cos[0], cvs[0]))
         ovov_bb = ao2mo.general(eri_ao, (cos[1], cvs[1], cos[1], cvs[1]))
         ovov_ab = ao2mo.general(eri_ao, (cos[0], cvs[0], cos[1], cvs[1]))
-        self.e_corr = float(_emp2_uhf(ovov_aa, ovov_bb, ovov_ab,
-                                      eia[0], eia[1]))
+        e, e_os, e_ss = _emp2_uhf(ovov_aa, ovov_bb, ovov_ab,
+                                  eia[0], eia[1])
+        self.e_corr = float(e)
+        self.e_corr_os = float(e_os)   # alpha-beta (opposite spin)
+        self.e_corr_ss = float(e_ss)   # aa + bb (same spin)
         return self.e_corr, None
+
+    def energy_scs(self, p_os=1.2, p_ss=1.0 / 3.0):
+        """SCS-MP2 energy from the os/ss split (Grimme 2003); SOS via
+        (1.3, 0). (1, 1) recovers plain UMP2."""
+        if self.e_corr is None:
+            self.kernel()
+        return p_os * self.e_corr_os + p_ss * self.e_corr_ss
 
     run = kernel
