@@ -82,3 +82,30 @@ class CASCI:
         dm = 2.0 * mo_core @ mo_core.T
         dm = dm + mo_cas @ jnp.asarray(casdm1) @ mo_cas.T
         return dm
+
+    def cas_natorb(self, ci=None, mo_coeff=None):
+        """Natural orbitals of the active space (reference
+        mcscf/casci.py cas_natorb:350). Diagonalizes the active-space
+        1-RDM, rotates the active MO block to natural orbitals sorted by
+        descending occupation, and re-solves the CI problem in that
+        basis (the reference transforms the CI vector directly; for the
+        dense FCI solver used here a re-solve is exact and cheap).
+
+        Returns (mo_new, ci_new, occ) where occ are the natural
+        occupation numbers (sum = nelecas).
+        """
+        ci = ci if ci is not None else self.ci
+        mo = np.asarray(mo_coeff if mo_coeff is not None else self.mo_coeff)
+        ncore, ncas = self.ncore, self.ncas
+        casdm1 = np.asarray(self.fcisolver.make_rdm1(ci, ncas, self.nelecas))
+        occ, u = np.linalg.eigh(0.5 * (casdm1 + casdm1.T))
+        occ, u = occ[::-1], u[:, ::-1]          # descending occupation
+        # fix gauge: largest component of each NO positive
+        for k in range(ncas):
+            j = np.argmax(abs(u[:, k]))
+            if u[j, k] < 0:
+                u[:, k] *= -1
+        mo_new = mo.copy()
+        mo_new[:, ncore:ncore + ncas] = mo[:, ncore:ncore + ncas] @ u
+        _, _, ci_new = CASCI.kernel(self, jnp.asarray(mo_new))
+        return jnp.asarray(mo_new), ci_new, occ

@@ -67,3 +67,24 @@ def test_casscf_chkfile_resume(h2o, tmp_path):
     mc3 = CASSCF(mf, 4, 4)
     e3, _, _ = mc3.kernel()
     assert abs(e2 - e3) < 1e-7
+
+
+def test_cas_natorb():
+    """Natural-orbital rotation leaves the CASCI energy invariant and
+    diagonalizes the active 1-RDM."""
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    from pyscf_tpu.mcscf import CASCI
+    mc = CASCI(mf, 4, 4)
+    e0, _, _ = mc.kernel()
+    mo_n, ci_n, occ = mc.cas_natorb()
+    assert abs(occ.sum() - 4.0) < 1e-9
+    mc2 = CASCI(mf, 4, 4)
+    e1, _, _ = mc2.kernel(mo_coeff=mo_n)
+    assert abs(e1 - e0) < 1e-9
+    dm = np.asarray(mc2.fcisolver.make_rdm1(ci_n, 4, mc2.nelecas))
+    assert abs(dm - np.diag(np.diag(dm))).max() < 1e-7
