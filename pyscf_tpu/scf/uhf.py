@@ -149,6 +149,43 @@ class UHF(SCF):
         from ..mp.ump2 import UMP2
         return UMP2(self, **kwargs)
 
+    # ---- analysis: base-class methods expect one (nao, nao) density;
+    # collapse the stacked spin density (reference scf/uhf.py:797 ff).
+    def dip_moment(self, mol=None, dm=None, unit='Debye'):
+        if dm is None:
+            dm = self.make_rdm1()
+        return super().dip_moment(mol, dm[0] + dm[1], unit)
+
+    def quad_moment(self, mol=None, dm=None):
+        if dm is None:
+            dm = self.make_rdm1()
+        return super().quad_moment(mol, dm[0] + dm[1])
+
+    def mulliken_pop(self, mol=None, dm=None, s=None):
+        if dm is None:
+            dm = self.make_rdm1()
+        return super().mulliken_pop(mol, dm[0] + dm[1], s)
+
+    def mulliken_spin_pop(self, mol=None, dm=None, s=None):
+        """Mulliken atomic spin density Tr[(Da - Db) S] per atom
+        (reference scf/uhf.py mulliken_spin_pop:837). Returns
+        (ao_spin_pop, atom_spin_density); atom values sum to 2S."""
+        import jax.numpy as jnp
+        mol = mol or self.mol
+        if dm is None:
+            dm = self.make_rdm1()
+        if s is None:
+            s = self.get_ovlp(mol)
+        pop = np.asarray(jnp.einsum('ij,ji->i', dm[0] - dm[1], s))
+        ao2atom = np.zeros(mol.nao, dtype=int)
+        for l, g in mol.shell_groups.items():
+            for off, ia in zip(g.ao_off, g.atom_ids):
+                ao2atom[off:off + 2 * l + 1] = ia
+        spin = np.zeros(mol.natm)
+        for i, p in enumerate(pop):
+            spin[ao2atom[i]] += p
+        return pop, spin
+
     def Gradients(self):
         from ..grad import uhf as uhf_grad
         return uhf_grad.Gradients(self)
