@@ -121,3 +121,45 @@ def convert_to_ghf(mf):
     gmf.e_tot = mf.e_tot
     gmf.converged = mf.converged
     return gmf
+
+
+def mom_occ_(mf, occorb, setocc):
+    """Maximum-overlap-method occupations for delta-SCF excited states
+    (reference scf/addons.py mom_occ:500). Replaces mf.get_occ so each
+    cycle occupies the new MOs with the largest projection onto the
+    span of the user-chosen reference occupation pattern, instead of
+    aufbau — which keeps a non-aufbau hole (e.g. HOMO->LUMO promotion)
+    from collapsing back to the ground state.
+
+    occorb: reference MO coefficients ((nao,nmo) or (2,nao,nmo));
+    setocc: target occupation pattern matching occorb. The instance-
+    level get_occ override automatically routes SCF to the host loop
+    (hf.py _fused_ok).
+    """
+    occorb = np.asarray(occorb)
+    setocc = np.asarray(setocc, dtype=float)
+    s1e = np.asarray(mf.get_ovlp())
+    unrestricted = setocc.ndim == 2
+
+    def _pick(c_ref_occ, c_new, nocc):
+        p = c_ref_occ.T @ s1e @ np.asarray(c_new)   # (nref_occ, nmo)
+        w = np.sum(p * p, axis=0)
+        occ = np.zeros(c_new.shape[1])
+        occ[np.argsort(w)[::-1][:nocc]] = 1.0
+        return occ
+
+    def get_occ(mo_energy, mo_coeff=None):
+        import jax.numpy as jnp
+        if mo_coeff is None:
+            return type(mf).get_occ(mf, mo_energy)
+        if unrestricted:
+            occs = []
+            for sp in range(2):
+                ref = occorb[sp][:, setocc[sp] > 0]
+                occs.append(_pick(ref, mo_coeff[sp], ref.shape[1]))
+            return jnp.asarray(np.stack(occs))
+        ref = occorb[:, setocc > 0]
+        return jnp.asarray(2.0 * _pick(ref, mo_coeff, ref.shape[1]))
+
+    mf.get_occ = get_occ
+    return mf
