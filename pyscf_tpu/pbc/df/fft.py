@@ -428,6 +428,58 @@ class KFFTDF(FFTDF):
     def get_hcore_kpts(self):
         return self.get_kin_kpts() + self.get_pp_kpts()
 
+    def get_jk_bands(self, dm_kpts, band_df):
+        """J/K matrices at arbitrary band k-points from the SCF-mesh
+        density (reference pbc/df/fft_jk.py get_j_kpts/get_k_kpts with
+        kpts_band). Bra/ket AOs are at the band k-points; the density
+        (J) and occupied orbitals (K) come from this object's SCF mesh.
+        No exxdiv correction here (applied by the caller per reference
+        pbc/df/df_jk.py _ewald_exxdiv_for_G0:1479 semantics)."""
+        cell = self.cell
+        mesh = self.mesh
+        ngrid = np.prod(mesh)
+        ao_k = self._ao_on_grid_kpts()            # SCF kpts
+        ao_b = band_df._ao_on_grid_kpts()         # band kpts
+        nk = self.nkpts
+        nb = band_df.nkpts
+        dm = np.asarray(dm_kpts)
+        Gv = cell.get_Gv(mesh)
+        w = self.weight
+        nao = cell.nao
+        coords = np.asarray(self.grids_coords)
+        rho = np.zeros(ngrid)
+        for k in range(nk):
+            dmao = ao_k[k] @ dm[k]
+            rho += np.einsum('gi,gi->g', dmao, ao_k[k].conj()).real
+        rho /= nk
+        G2 = np.einsum('ix,ix->i', Gv, Gv)
+        coulG = np.where(G2 > 1e-12, 4.0 * np.pi / np.maximum(G2, 1e-30),
+                         0.0)
+        vr = np.fft.ifftn((coulG.reshape(mesh)
+                           * np.fft.fftn(rho.reshape(mesh)))).real.ravel()
+        vj = np.stack([w * np.einsum('gi,g,gj->ij', ao_b[b].conj(), vr,
+                                     ao_b[b]) for b in range(nb)])
+        vk = np.zeros((nb, nao, nao), dtype=complex)
+        for k2 in range(nk):
+            evals, evecs = np.linalg.eigh(dm[k2])
+            keep = evals > 1e-10
+            cocc = evecs[:, keep] * np.sqrt(np.maximum(evals[keep], 0.0))
+            psi = ao_k[k2] @ cocc
+            for b in range(nb):
+                q = self.kpts[k2] - band_df.kpts[b]
+                Gq2 = np.einsum('ix,ix->i', Gv + q, Gv + q)
+                coulGq = np.where(Gq2 > 1e-12,
+                                  4.0 * np.pi / np.maximum(Gq2, 1e-30),
+                                  0.0).reshape(*mesh, 1)
+                phase = np.exp(-1j * coords @ q)
+                for o in range(psi.shape[1]):
+                    u = (ao_b[b].conj() * (psi[:, o] * phase)[:, None])
+                    uG = np.fft.fftn(u.reshape(*mesh, -1), axes=(0, 1, 2))
+                    vu = np.fft.ifftn(uG * coulGq,
+                                      axes=(0, 1, 2)).reshape(ngrid, -1)
+                    vk[b] += (w / nk) * u.T @ vu.conj()
+        return vj, vk
+
     def get_jk_kpts(self, dm_kpts, with_j=True, with_k=True):
         """FFT J/K over the k mesh (reference pbc/df/fft_jk.py:33,181)."""
         cell = self.cell

@@ -69,6 +69,39 @@ class KRHF:
         # fix round-off: total must be exact
         return np.stack(occs)
 
+    def get_bands(self, kpts_band, dm_kpts=None):
+        """Band energies/orbitals at arbitrary k-points from the
+        converged density (reference pbc/scf/khf.py get_bands:746).
+        Returns (mo_energy, mo_coeff) lists over band k-points. The
+        Ewald exxdiv shift is applied only at band points that coincide
+        with SCF mesh points (reference df_jk.py:1494-1498)."""
+        from ..df.fft import KFFTDF
+        kpts_band = np.asarray(kpts_band).reshape(-1, 3)
+        if dm_kpts is None:
+            dm_kpts = self.make_rdm1()
+        band_df = KFFTDF(self.cell, kpts_band)
+        h1 = np.asarray(band_df.get_hcore_kpts())
+        s_b = np.asarray(band_df.get_ovlp_kpts())
+        vj, vk = self.with_df.get_jk_bands(dm_kpts, band_df)
+        if self.exxdiv == 'ewald':
+            s_scf = np.asarray(self.get_ovlp())
+            mad = madelung(self.cell, self.kpts)
+            for k, kpt in enumerate(self.kpts):
+                for b in np.where(np.linalg.norm(
+                        kpts_band - kpt, axis=1) < 1e-9)[0]:
+                    vk[b] += mad * s_scf[k] @ np.asarray(dm_kpts)[k] \
+                        @ s_scf[k]
+        fock = h1 + vj - 0.5 * vk
+        moes, mocs = [], []
+        for b in range(len(kpts_band)):
+            w, v = np.linalg.eigh(s_b[b])
+            keep = w > 1e-10
+            x = v[:, keep] / np.sqrt(w[keep])
+            e, cp = np.linalg.eigh(x.conj().T @ fock[b] @ x)
+            moes.append(e)
+            mocs.append(x @ cp)
+        return moes, mocs
+
     def make_rdm1(self, mo_coeff=None, mo_occ=None):
         c = mo_coeff if mo_coeff is not None else self.mo_coeff
         o = mo_occ if mo_occ is not None else self.mo_occ

@@ -133,3 +133,21 @@ def test_diamond_gamma_pbe_gdf():
     e_gdf = mf2.kernel()
     assert mf2.converged
     assert abs(e_gdf - e_fft) < 1e-8
+
+
+@pytest.mark.slow
+def test_get_bands_reproduces_scf_eigenvalues():
+    """Band interpolation evaluated at the SCF k-points must reproduce
+    the converged eigenvalues (including the Ewald exxdiv shift)."""
+    from pyscf_tpu.pbc.scf.khf import KRHF
+    cell = Cell(mesh=[9] * 3, **DIAMOND).build()
+    kpts = cell.make_kpts([2, 1, 1])
+    mf = KRHF(cell, kpts=kpts)
+    mf.conv_tol = 1e-9
+    mf.kernel()
+    be, _ = mf.get_bands(kpts)
+    for k in range(2):
+        assert abs(np.asarray(be[k])
+                   - np.asarray(mf.mo_energy[k])).max() < 1e-7
+    be2, _ = mf.get_bands(np.array([[0.123, 0.041, -0.07]]))
+    assert np.all(np.isfinite(be2[0]))
