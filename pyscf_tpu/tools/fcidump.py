@@ -111,3 +111,15 @@ def to_scf(filename, max_cycle=100, conv_tol=1e-10):
             break
         e_last = e
     return float(e), w, c, dm
+
+
+def from_mcscf(mc, filename, tol=1e-12):
+    """Dump the CASCI/CASSCF active-space Hamiltonian (reference
+    tools/fcidump.py from_mcscf:156): the core-Fock-dressed one-body
+    integrals, active-space ERIs, and the core energy, so an external
+    FCI solver reproduces mc.e_tot exactly."""
+    h1, ecore = mc.h1e_for_cas()
+    eri = mc.get_h2eff()
+    na, nb = mc.nelecas
+    from_integrals(filename, np.asarray(h1), np.asarray(eri), mc.ncas,
+                   na + nb, nuc=float(ecore), ms=na - nb, tol=tol)

@@ -57,3 +57,26 @@ def test_fcidump_to_scf_roundtrip(tmp_path):
     fcidump.from_scf(mf, fn)
     e1, w, c, dm = fcidump.to_scf(fn)
     assert abs(e1 - float(e0)) < 1e-9
+
+
+def test_fcidump_from_mcscf_roundtrip():
+    """FCI on a re-read active-space dump reproduces the CASCI energy."""
+    from pyscf_tpu.fci import direct_spin1
+    from pyscf_tpu.mcscf import CASCI
+    from pyscf_tpu.tools import fcidump
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g')
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.init_guess = 'hcore'
+    mf.kernel()
+    mc = CASCI(mf, 4, 4)
+    e0, _, _ = mc.kernel()
+    import tempfile, os
+    fn = os.path.join(tempfile.mkdtemp(), 'cas.fcidump')
+    fcidump.from_mcscf(mc, fn)
+    d = fcidump.read(fn)
+    na = (d['NELEC'] + d['MS2']) // 2
+    e, _ = direct_spin1.kernel(d['H1'], d['H2'], d['NORB'],
+                               (na, d['NELEC'] - na), ecore=d['ECORE'])
+    assert abs(e - e0) < 1e-8
