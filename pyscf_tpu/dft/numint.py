@@ -15,6 +15,10 @@ from ..ops.eval_gto import eval_ao
 from . import xc as xc_mod
 
 BLK = 4096
+# Per-block AO-value budget (elements of the (4, blk, nao) f64 block,
+# ~240 MB): blocks are sized as LARGE as memory allows so the XC
+# quadrature is a few big MXU matmuls instead of many small scan steps.
+BLK_ELEM_BUDGET = 3.0e7
 # TPU f64 is emulated as a double-f32 pair with f32's exponent range, so
 # densities below ~1e-10 drive rho^(-1/3)/exp intermediates out of range
 # (NaN on TPU, fine on CPU). Threshold + clamps keep every live point
@@ -24,8 +28,20 @@ RHO_THR = 1e-10
 SIGMA_FLOOR = 1e-20
 
 
-def _pad_grid(coords, weights, blk=BLK):
+def choose_blk(n, nao=None):
+    """Grid block size: as big as the AO-block memory budget allows,
+    in BLK granularity, never more than one block beyond the grid."""
+    if nao is None:
+        return BLK
+    cap = max(1, int(BLK_ELEM_BUDGET / (4 * max(nao, 1)) / BLK)) * BLK
+    need = -(-n // BLK) * BLK          # grid rounded up to granularity
+    return min(cap, need)
+
+
+def _pad_grid(coords, weights, blk=None, nao=None):
     n = coords.shape[0]
+    if blk is None:
+        blk = choose_blk(n, nao)
     nblk = -(-n // blk)
     pad = nblk * blk - n
     coords = jnp.pad(coords, ((0, pad), (0, 0)))
@@ -50,13 +66,13 @@ class NumInt:
     def nr_rks(self, mol, grids, xc_code, dm, max_memory=None):
         """Returns (nelec, exc, vxc_matrix) for a closed-shell density."""
         fn = self._get_rks_fn(mol, xc_code)
-        coords, weights = _pad_grid(grids.coords, grids.weights)
+        coords, weights = _pad_grid(grids.coords, grids.weights, nao=mol.nao)
         n, exc, vmat = fn(coords, weights, dm)
         return float(n), float(exc), vmat
 
     def nr_uks(self, mol, grids, xc_code, dm, max_memory=None):
         fn = self._get_uks_fn(mol, xc_code)
-        coords, weights = _pad_grid(grids.coords, grids.weights)
+        coords, weights = _pad_grid(grids.coords, grids.weights, nao=mol.nao)
         n, exc, vmat = fn(coords, weights, dm)
         return np.asarray(n), float(exc), vmat
 
@@ -83,7 +99,7 @@ class NumInt:
     def grid_ao(self, mol, grids, deriv):
         """(aod, weights) blocked for the fused path: aod is
         (nblk, blk, nao) for LDA or (nblk, 4, blk, nao) for GGA."""
-        coords, weights = _pad_grid(grids.coords, grids.weights)
+        coords, weights = _pad_grid(grids.coords, grids.weights, nao=mol.nao)
         aod = self.aod_program(mol, deriv)(coords)
         return aod, weights
 

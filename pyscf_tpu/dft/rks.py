@@ -61,8 +61,28 @@ class RKS(KohnShamDFT, RHF):
                     e2 = e2 - 0.25 * jnp.sum(vk * dm)
                 return vhf, e2
 
+            def veff_dm_fn(data, dm):
+                _, exc, vxc = core(data['aod'], data['weights'], dm)
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dm)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                e2 = 0.5 * jnp.sum(vj * dm) + exc
+                vhf = vxc + vj
+
+                def kmat_dm(Bx):
+                    Bd = jnp.einsum('pil,lk->pik', Bx, dm)
+                    return jnp.einsum('pik,pkj->ij', Bd, Bx)
+
+                if hyb != 0.0 or omega:
+                    vk = hyb * kmat_dm(B)
+                    if omega:
+                        vk = vk + (alpha - hyb) * kmat_dm(data['Blr'])
+                    vhf = vhf - 0.5 * vk
+                    e2 = e2 - 0.25 * jnp.sum(vk * dm)
+                return vhf, e2
+
             key = ('rks-df', self.xc, hyb, omega, data['B'].shape, aod.shape)
-            return key, veff_fn, data
+            return key, veff_fn, data, veff_dm_fn
         data['eri'] = self._get_eri()
         if omega:
             data['eri_lr'] = self._get_eri(omega)
@@ -83,7 +103,7 @@ class RKS(KohnShamDFT, RHF):
             return vhf, e2
 
         key = ('rks-eri', self.xc, hyb, omega, data['eri'].shape, aod.shape)
-        return key, veff_fn, data
+        return key, veff_fn, data, (lambda data, dm: veff_fn(data, dm, None))
 
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         mol = mol or self.mol

@@ -72,11 +72,25 @@ def thermo(mol, freq_au, e_tot, temperature=298.15, pressure=101325.0):
     return results
 
 
-class Hessian:
+def Hessian(mf, **kwargs):
+    """Nuclear Hessian of a converged mean field (reference mf.Hessian()).
+
+    Dispatches to the analytic CPHF Hessian (hessian/rhf.py) for
+    density-fitted restricted RHF/RKS with global-hybrid or pure
+    functionals; otherwise falls back to the semi-analytic
+    FD-of-analytic-gradient path."""
+    try:
+        from .rhf import Hessian as AnalyticHessian
+        return AnalyticHessian(mf, **kwargs)
+    except NotImplementedError:
+        return HessianFD(mf, **kwargs)
+
+
+class HessianFD:
     """Semi-analytic nuclear Hessian: central differences of the ANALYTIC
     (autodiff) gradient — one order better than FD-of-energy and the
-    standard cross-check for the coming CPHF analytic Hessian (reference
-    hessian/rhf.py)."""
+    cross-check oracle for the CPHF analytic Hessian (hessian/rhf.py,
+    reference hessian/rhf.py)."""
 
     def __init__(self, mf, step=1e-3):
         self._scf = mf

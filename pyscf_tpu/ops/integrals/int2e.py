@@ -437,28 +437,91 @@ def _j3c_scan(L1, L2, nt1, nt2, KK1, KK2, p1, P1, E1, p2, P2, E2,
     return ys
 
 
-def _scan_groups(sp, ab, max_elems=int(2e8)):
-    """Split sp's chunks into fixed-size groups so each scan's output stays
-    under max_elems elements (keeps peak device memory bounded)."""
-    per_chunk = sp.pair_chunk * sp.nc * ab.nsx_pad * ab.nc
-    g = max(1, int(max_elems // max(per_chunk, 1)))
-    return min(g, sp.nchunk)
+def _cached_screened_pairs(mol, la, lb, triu):
+    cache = getattr(mol, '_int_pair_cache', None)
+    if cache is None:
+        cache = mol._int_pair_cache = {}
+    key = ('sp', la, lb, triu)
+    if key not in cache:
+        cache[key] = ScreenedPairs(mol, la, lb, triu=triu)
+    return cache[key]
 
 
-def _j3c_class(sp, ab, rs_omega=None):
-    """(screened pair class | aux class) -> numpy (nsel, nc1, nsx, nc2)."""
-    L1 = sp.la + sp.lb
-    g = _scan_groups(sp, ab)
-    outs = []
-    for i0 in range(0, sp.nchunk, g):
-        i1 = min(i0 + g, sp.nchunk)
-        ys = _j3c_scan(L1, ab.l, sp.nt, ab.nt, sp.KK, ab.KK,
-                       sp.p[i0:i1], sp.P[i0:i1], sp.E[i0:i1],
-                       ab.p, ab.P, ab.E, rs_omega)
-        outs.append(np.asarray(ys))
-    ys = np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    ys = ys.reshape(sp.npad, sp.nc, ab.nsx_pad, ab.nc)
-    return ys[:sp.nsel, :, :ab.nsx, :]
+def _cached_aux_blocks(auxmol):
+    cache = getattr(auxmol, '_int_pair_cache', None)
+    if cache is None:
+        cache = auxmol._int_pair_cache = {}
+    if 'aux_blocks' not in cache:
+        cache['aux_blocks'] = {lx: AuxBlock(auxmol, lx)
+                               for lx in sorted(auxmol.shell_groups.keys())}
+    return cache['aux_blocks']
+
+
+# jitted per (class shapes): sph-transform the scanned j3c blocks of one
+# pair class against every aux class, concatenated in class-grouped aux
+# order. Returns both bra orderings (ij and ji). Assembly into the final
+# (nao^2, naux) table is a single row GATHER (XLA:CPU/TPU scatter is slow;
+# gather is fast on both).
+_assemble_cache = {}
+
+
+def _assemble_class_fn(nsel, nca, ncb, aux_sig):
+    key = (nsel, nca, ncb, aux_sig)
+    fn = _assemble_cache.get(key)
+    if fn is None:
+        nsx_by_class = [s[1] for s in aux_sig]
+        @jax.jit
+        def fn(ys_list, Sa, Sb, Sx_list):
+            per_aux = []
+            for ys, Sx, nsx in zip(ys_list, Sx_list, nsx_by_class):
+                nsx_pad = ys.shape[3]
+                ncx = ys.shape[4]
+                v = ys.reshape(-1, nca, ncb, nsx_pad, ncx)[:nsel, :, :, :nsx]
+                v = jnp.einsum('mp,nq,er,spqxr->smnxe', Sa, Sb, Sx, v,
+                               optimize=True)
+                per_aux.append(v.reshape(nsel, Sa.shape[0], Sb.shape[0], -1))
+            V = jnp.concatenate(per_aux, axis=-1)     # (nsel, da, db, nauxg)
+            da, db = Sa.shape[0], Sb.shape[0]
+            flat_ij = V.reshape(nsel * da * db, -1)
+            flat_ji = V.transpose(0, 2, 1, 3).reshape(nsel * db * da, -1)
+            return flat_ij, flat_ji
+        _assemble_cache[key] = fn
+    return fn
+
+
+def _class_row_ids(mol, sp):
+    """Flat (i*nao+j) row indices for a screened pair class, both mirrors
+    (host numpy; cached)."""
+    cache = getattr(mol, '_int_pair_cache', None)
+    if cache is None:
+        cache = mol._int_pair_cache = {}
+    key = ('rows', sp.la, sp.lb, sp.triu)
+    if key not in cache:
+        nao = mol.nao
+        da, db = 2 * sp.la + 1, 2 * sp.lb + 1
+        ia = sp.ga.ao_off[sp.sel_a][:, None] + np.arange(da)  # (nsel, da)
+        jb = sp.gb.ao_off[sp.sel_b][:, None] + np.arange(db)
+        rows_ij = (ia[:, :, None] * nao + jb[:, None, :]).reshape(-1)
+        rows_ji = (jb[:, :, None] * nao + ia[:, None, :]).reshape(-1)
+        cache[key] = (rows_ij, rows_ji)
+    return cache[key]
+
+
+def _aux_grouped_cols(auxmol, aux_blocks):
+    """col_inv: AO-ordered aux index -> class-grouped column position."""
+    cache = getattr(auxmol, '_int_pair_cache', None)
+    if cache is None:
+        cache = auxmol._int_pair_cache = {}
+    if 'col_inv' not in cache:
+        order = []
+        for lx, ab in aux_blocks.items():
+            xz = ab.g.ao_off[:, None] + np.arange(2 * lx + 1)
+            order.append(xz.reshape(-1))
+        order = np.concatenate(order)             # grouped pos -> AO index
+        col_inv = np.empty_like(order)
+        col_inv[order] = np.arange(order.size)    # AO index -> grouped pos
+        cache['col_inv'] = jnp.asarray(col_inv, dtype=jnp.int32)
+    return cache['col_inv']
 
 
 @on_integral_device
@@ -467,39 +530,74 @@ def int3c2e(mol, auxmol, omega=None):
 
     Screened shell pairs, one scan dispatch per (pair-class, aux-class)
     block (reference: libcint int3c2e driven by pyscf/df/incore.py:40).
-    omega: long-range erf attenuation (RSH exchange fitting)."""
+    The spherical transform runs on the integral device; final assembly is
+    ONE row gather + one column gather (no host round-trips, no XLA
+    scatter). Pair tables and index maps are cached on the Mole across
+    DF builds. omega: long-range erf attenuation (RSH exchange fitting)."""
     nao, naux = mol.nao, auxmol.nao
-    out = np.zeros((nao, nao, naux))
     ls = sorted(mol.shell_groups.keys())
-    aux_blocks = {lx: AuxBlock(auxmol, lx)
-                  for lx in sorted(auxmol.shell_groups.keys())}
+    aux_blocks = _cached_aux_blocks(auxmol)
+    aux_sig = tuple((lx, ab.nsx, ab.nsx_pad, ab.nc)
+                    for lx, ab in aux_blocks.items())
+    Sx_list = [jnp.asarray(_sph(lx)) for lx in aux_blocks]
+    pieces = []       # device (rows_piece, naux_grouped) blocks
+    row_ids = []      # matching host row-index arrays
     for la in ls:
         for lb in ls:
             if lb < la:
-                continue       # (ab|P) = (ba|P): mirror at scatter time
-            sp = ScreenedPairs(mol, la, lb, triu=(la == lb))
+                continue       # (ab|P) = (ba|P): mirror piece instead
+            sp = _cached_screened_pairs(mol, la, lb, triu=(la == lb))
             if sp.nsel == 0:
                 continue
-            da, db = 2 * la + 1, 2 * lb + 1
             nca, ncb = len(cart_components(la)), len(cart_components(lb))
-            Sa, Sb = _sph(la), _sph(lb)
-            ia = sp.ga.ao_off[sp.sel_a][:, None] + np.arange(da)
-            jb = sp.gb.ao_off[sp.sel_b][:, None] + np.arange(db)
-            for lx, ab in aux_blocks.items():
-                vals = _j3c_class(sp, ab, rs_omega=omega)
-                vals = vals.reshape(sp.nsel, nca, ncb, ab.nsx, ab.nc)
-                vals = np.einsum('mp,nq,er,spqxr->smnxe', Sa, Sb, _sph(lx),
-                                 vals, optimize=True)
-                dx = 2 * lx + 1
-                xz = ab.g.ao_off[:, None] + np.arange(dx)
-                out[ia[:, :, None, None, None],
-                    jb[:, None, :, None, None],
-                    xz[None, None, None, :, :]] = vals
-                out[jb[:, :, None, None, None],
-                    ia[:, None, :, None, None],
-                    xz[None, None, None, :, :]] = \
-                    vals.transpose(0, 2, 1, 3, 4)
-    return jnp.asarray(out)
+            ys_list = [
+                _j3c_scan(sp.la + sp.lb, ab.l, sp.nt, ab.nt,
+                          sp.KK, ab.KK, sp.p, sp.P, sp.E,
+                          ab.p, ab.P, ab.E, omega)
+                for ab in aux_blocks.values()]
+            fn = _assemble_class_fn(sp.nsel, nca, ncb, aux_sig)
+            flat_ij, flat_ji = fn(ys_list, jnp.asarray(_sph(la)),
+                                  jnp.asarray(_sph(lb)), Sx_list)
+            rows_ij, rows_ji = _class_row_ids(mol, sp)
+            pieces.append(flat_ij)
+            row_ids.append(rows_ij)
+            if la != lb or sp.triu:
+                pieces.append(flat_ji)
+                row_ids.append(rows_ji)
+    V = jnp.concatenate(pieces + [jnp.zeros((1, naux))], axis=0)
+    # row map: flat (i*nao+j) -> position in V (screened-out rows -> zero row)
+    cache = mol._int_pair_cache
+    rkey = ('rowinv', len(row_ids), sum(a.size for a in row_ids))
+    if rkey not in cache:
+        row_map = np.full(nao * nao, sum(a.size for a in row_ids),
+                          dtype=np.int64)
+        off = 0
+        for rows in row_ids:
+            row_map[rows] = off + np.arange(rows.size)
+            off += rows.size
+        cache[rkey] = jnp.asarray(row_map, dtype=jnp.int32)
+    col_inv = _aux_grouped_cols(auxmol, aux_blocks)
+    out = jnp.take(V, cache[rkey], axis=0)
+    out = jnp.take(out, col_inv, axis=1)
+    return out.reshape(nao, nao, naux)
+
+
+_2c_reduce_cache = {}
+
+
+def _reduce_2c_fn(nsx, KKx, ncx, nsy, KKy, ncy):
+    """Prim-sum + spherical transform of one (lx,ly) 2c2e class block."""
+    key = (nsx, KKx, ncx, nsy, KKy, ncy)
+    fn = _2c_reduce_cache.get(key)
+    if fn is None:
+        @jax.jit
+        def fn(blk, Sx, Sy):
+            b = blk.reshape(-1, KKx, ncx, blk.shape[2] // KKy, KKy, ncy)
+            b = b.sum(axis=(1, 4))[:nsx, :, :nsy, :]
+            b = jnp.einsum('mp,xpyq,nq->xmyn', Sx, b, Sy, optimize=True)
+            return b.reshape(nsx * Sx.shape[0], nsy * Sy.shape[0])
+        _2c_reduce_cache[key] = fn
+    return fn
 
 
 @on_integral_device
@@ -507,24 +605,23 @@ def int2c2e(mol, omega=None):
     """(P|Q) two-center two-electron integrals over mol's shells.
 
     One full-block kernel call per (lx, ly) class pair (the aux basis is
-    small; reference libcint int2c2e via pyscf/df/incore.py:40 aux_e2)."""
+    small; reference libcint int2c2e via pyscf/df/incore.py:40 aux_e2);
+    spherical transform + scatter stay on the integral device."""
     nao = mol.nao
-    out = np.zeros((nao, nao))
-    blocks = {l: AuxBlock(mol, l) for l in sorted(mol.shell_groups.keys())}
+    blocks = _cached_aux_blocks(mol)
+    inv = _aux_grouped_cols(mol, blocks)
+    rows = []
     for lx, ax in blocks.items():
-        ix = ax.g.ao_off[:, None] + np.arange(2 * lx + 1)
+        cols = []
         for ly, ay in blocks.items():
             blk = _eri_chunk(lx, ly, ax.nt, ay.nt, ax.p, ax.P, ax.E,
                              ay.p, ay.P, ay.E, rs_omega=omega)
-            blk = np.asarray(blk).reshape(ax.nsx_pad, ax.KK, ax.nc,
-                                          ay.nsx_pad, ay.KK, ay.nc)
-            blk = blk.sum(axis=(1, 4))[:ax.nsx, :, :ay.nsx, :]
-            blk = np.einsum('mp,xpyq,nq->xmyn', _sph(lx), blk, _sph(ly),
-                            optimize=True)
-            jy = ay.g.ao_off[:, None] + np.arange(2 * ly + 1)
-            out[np.ix_(ix.ravel(), jy.ravel())] = \
-                blk.reshape(ix.size, jy.size)
-    return jnp.asarray(out)
+            red = _reduce_2c_fn(ax.nsx, ax.KK, ax.nc, ay.nsx, ay.KK, ay.nc)
+            cols.append(red(blk, jnp.asarray(_sph(lx)),
+                            jnp.asarray(_sph(ly))))
+        rows.append(jnp.concatenate(cols, axis=1))
+    out = jnp.concatenate(rows, axis=0)        # class-grouped both axes
+    return jnp.take(jnp.take(out, inv, axis=0), inv, axis=1)
 
 
 # ---------------------------------------------------------------------------

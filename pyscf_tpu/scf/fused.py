@@ -52,13 +52,20 @@ def _diis_extrapolate(fh, eh, nval):
     return jnp.tensordot(c, fh, axes=(0, 0))
 
 
-def build_restricted_program(nocc, diis_space, veff_fn):
+def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None):
     """One-dispatch restricted SCF.
 
     veff_fn(veff_data, dm, co) -> (vhf, e2) must be jit-traceable; co is the
     sqrt(occ)-scaled occupied-orbital factor with dm == co @ co.T exactly
     (J from dm, K/XC free to use either). e2 is the two-electron +
     exchange-correlation energy so that e_elec = tr(h dm) + e2.
+
+    veff_dm_fn(veff_data, dm) -> (vhf, e2) builds the potential from the
+    raw (non-idempotent) guess density; the loop is seeded by
+    diagonalizing F(dm0) exactly like the reference's first cycle
+    (scf/hf.py:170). Without it the seed falls back to the guess's
+    natural orbitals, which both truncates fractional occupations and
+    can hit jnp.linalg.eigh NaNs on degenerate guess spectra.
 
     Returns a jitted program
       program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
@@ -77,10 +84,16 @@ def build_restricted_program(nocc, diis_space, veff_fn):
         nao = h1e.shape[0]
         space = diis_space
 
-        # initial occupied factor from the guess density's natural orbitals
-        w0, u0 = jnp.linalg.eigh(dm0)
-        co0 = (u0[:, ::-1][:, :nocc]
-               * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
+        if veff_dm_fn is not None:
+            # seed by diagonalizing the Fock of the untruncated guess
+            vhf0, _ = veff_dm_fn(veff_data, dm0)
+            _, moc0 = eigh_gen(h1e + vhf0, x)
+            co0 = moc0[:, :nocc] * jnp.sqrt(2.0)
+        else:
+            # initial occupied factor from the guess's natural orbitals
+            w0, u0 = jnp.linalg.eigh(dm0)
+            co0 = (u0[:, ::-1][:, :nocc]
+                   * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
 
         def body(st):
             cyc, done, e_prev, co, f_last, fh, eh = st

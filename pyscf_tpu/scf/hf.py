@@ -224,6 +224,12 @@ class SCF:
         if key == 'atom':
             from . import init_guess
             return jnp.asarray(init_guess.init_guess_by_atom(mol))
+        if key == 'huckel':
+            from . import init_guess
+            return jnp.asarray(init_guess.init_guess_by_huckel(mol))
+        if key == 'mod_huckel':
+            from . import init_guess
+            return jnp.asarray(init_guess.init_guess_by_mod_huckel(mol))
         if key == 'chkfile' or key == 'chk':
             return self.init_guess_by_chkfile()
         raise NotImplementedError(f'init_guess {key}')
@@ -302,7 +308,7 @@ class SCF:
             nocc = mol.nelectron // 2
             key = (kind, mol.nao, nocc, self.diis_space)
             prog = get_program(mol, key, lambda: build_restricted_program(
-                nocc, self.diis_space, veff_fn))
+                nocc, self.diis_space, veff_fn, veff_dm_fn))
         else:
             na, nb = mol.nelec
             key = (kind, mol.nao, na, nb, self.diis_space)
@@ -333,6 +339,7 @@ class SCF:
             if res is not None:
                 return self._kernel_fused(dm0)
         mol = self.mol
+        log = logger.new_logger(self)
         t_start = time.time()
         if self.conv_tol_grad is None:
             conv_tol_grad = np.sqrt(self.conv_tol)
@@ -342,12 +349,14 @@ class SCF:
         s1e = self.get_ovlp(mol)
         h1e = self.get_hcore(mol)
         self._orth = canonical_orth(s1e, self.lindep_thresh)
+        log.timer('1e integrals + orthogonalizer')
         dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
+        log.timer('initial guess')
 
         vhf = self.get_veff(mol, dm)
         e_tot = self.energy_tot(dm, h1e, vhf)
-        if self.verbose >= param.VERBOSE_INFO:
-            print(f'init E= {e_tot:.15g}')
+        log.info('init E= %.15g', float(e_tot))
+        log.timer('initialize scf')
 
         diis = DIIS(self.diis_space) if self.diis_space else None
         scf_conv = False
@@ -365,9 +374,9 @@ class SCF:
             fock_c = h1e + vhf
             grad = self._scf_grad_norm(mo_coeff, mo_occ, fock_c)
             de = abs(e_tot - e_last)
-            if self.verbose >= param.VERBOSE_INFO:
-                print(f'cycle= {cycle + 1} E= {e_tot:.15g} '
-                      f'delta_E= {de:.3g} |g|= {grad:.3g}')
+            log.info('cycle= %d E= %.15g delta_E= %.3g |g|= %.3g',
+                     cycle + 1, float(e_tot), de, grad)
+            log.timer('cycle= %d' % (cycle + 1))
             self.e_tot = e_tot
             self.mo_energy = mo_energy
             self.mo_coeff = mo_coeff
@@ -383,10 +392,9 @@ class SCF:
         self.mo_coeff = mo_coeff
         self.mo_occ = mo_occ
         self.dump_chk()
-        if self.verbose >= param.VERBOSE_NOTE:
-            state = 'converged' if scf_conv else 'NOT converged'
-            print(f'SCF {state}. E= {self.e_tot:.14f} '
-                  f'({time.time() - t_start:.1f}s)')
+        state = 'converged' if scf_conv else 'NOT converged'
+        log.note('SCF %s. E= %.14f (%.1fs)', state, float(self.e_tot),
+                 time.time() - t_start)
         return self.e_tot
 
     def _scf_grad_norm(self, mo_coeff, mo_occ, fock):
@@ -521,7 +529,16 @@ class RHF(SCF):
                 vhf = vj - 0.5 * vk
                 return vhf, 0.5 * jnp.sum(vhf * dm)
 
-            return ('rhf-df', B.shape), veff_fn, {'B': B}
+            def veff_dm_fn(data, dm):
+                B = data['B']
+                rho = jnp.einsum('pkl,lk->p', B, dm)
+                vj = jnp.einsum('p,pij->ij', rho, B)
+                Bd = jnp.einsum('pil,lk->pik', B, dm)
+                vk = jnp.einsum('pik,pkj->ij', Bd, B)
+                vhf = vj - 0.5 * vk
+                return vhf, 0.5 * jnp.sum(vhf * dm)
+
+            return ('rhf-df', B.shape), veff_fn, {'B': B}, veff_dm_fn
         if self._eri is None:
             self._eri = self.mol.intor('int2e')
         eri = self._eri
@@ -533,7 +550,10 @@ class RHF(SCF):
             vhf = vj - 0.5 * vk
             return vhf, 0.5 * jnp.sum(vhf * dm)
 
-        return ('rhf-eri', eri.shape), veff_fn, {'eri': eri}
+        def veff_dm_fn(data, dm):
+            return veff_fn(data, dm, None)
+
+        return ('rhf-eri', eri.shape), veff_fn, {'eri': eri}, veff_dm_fn
 
     # post-HF constructors
     def MP2(self, **kwargs):
@@ -543,6 +563,10 @@ class RHF(SCF):
     def CCSD(self, **kwargs):
         from ..cc import CCSD
         return CCSD(self, **kwargs)
+
+    def CCSDT(self, **kwargs):
+        from ..cc import CCSDT
+        return CCSDT(self, **kwargs)
 
     def CISD(self, **kwargs):
         from ..ci import CISD
@@ -562,3 +586,7 @@ class RHF(SCF):
 
     def nuc_grad_method(self):
         return self.Gradients()
+
+    def Hessian(self, **kwargs):
+        from ..hessian import Hessian
+        return Hessian(self, **kwargs)

@@ -52,5 +52,92 @@ def init_guess_by_minao(mol):
 
 
 def init_guess_by_atom(mol):
-    """Alias: SAD is the atomic-density superposition guess here."""
-    return init_guess_by_minao(mol)
+    """Superposition of spherically-averaged atomic SCF densities in the
+    molecule's own basis (reference scf/hf.py init_guess_by_atom via
+    atom_hf.get_atm_nrhf)."""
+    from .atom_hf import get_atm_nrhf
+    atm = get_atm_nrhf(mol)
+    nao = mol.nao
+    dm = np.zeros((nao, nao))
+    for ia, (symb, (p0, p1)) in enumerate(zip(mol.raw_symbols,
+                                              _aoslice(mol))):
+        _, e, c, occ = atm[symb]
+        dm[p0:p1, p0:p1] = (c * occ[None, :]) @ c.T
+    return jnp.asarray(dm)
+
+
+def _aoslice(mol):
+    """[(ao_start, ao_end)] per atom (contiguous shell layout)."""
+    bounds = []
+    for ia in range(mol.natm):
+        idx = [i for i, sh in enumerate(mol._shells) if sh.atom_id == ia]
+        if idx:
+            p0 = int(mol.ao_loc[min(idx)])
+            p1 = int(mol.ao_loc[max(idx) + 1])
+        else:
+            p0 = p1 = int(mol.ao_loc[-1])
+        bounds.append((p0, p1))
+    return bounds
+
+
+def _huckel_orbitals(mol, updated_rule=False):
+    """GWH orbitals from on-the-fly atomic SCF (reference scf/hf.py:583
+    _init_guess_huckel_orbitals, doi:10.1021/acs.jctc.8b01089)."""
+    from .atom_hf import get_atm_nrhf
+    atm = get_atm_nrhf(mol)
+    nao = mol.nao
+    slices = _aoslice(mol)
+
+    orb_E, orb_C = [], []
+    for ia, symb in enumerate(mol.raw_symbols):
+        _, e, c, occ = atm[symb]
+        p0, p1 = slices[ia]
+        for k in np.nonzero(occ > 0.0)[0]:
+            cfull = np.zeros(nao)
+            cfull[p0:p1] = c[:, k]
+            orb_C.append(cfull)
+            orb_E.append(e[k])
+    orb_E = np.asarray(orb_E)
+    orb_C = np.asarray(orb_C).T                       # (nao, nocc_at)
+
+    s = np.asarray(mol.intor('int1e_ovlp'))
+    s_ho = orb_C.T @ s @ orb_C
+    k = 1.75
+    if updated_rule:
+        # updated GWH rule, J. Am. Chem. Soc. 100, 3686 (1978)
+        delta = (orb_E[:, None] - orb_E[None, :]) / \
+            (orb_E[:, None] + orb_E[None, :])
+        kij = k + delta ** 2 + delta ** 4 * (1.0 - k)
+    else:
+        kij = k
+    h = 0.5 * kij * (orb_E[:, None] + orb_E[None, :]) * s_ho
+    np.fill_diagonal(h, orb_E)
+
+    # generalized eigenproblem in the atomic-orbital metric
+    w, v = np.linalg.eigh(s_ho)
+    keep = w > 1e-9
+    x = v[:, keep] / np.sqrt(w[keep])[None, :]
+    ev, u = np.linalg.eigh(x.T @ h @ x)
+    return ev, orb_C @ (x @ u)
+
+
+def _aufbau_rdm1(mol, mo_energy, mo_coeff):
+    nmo = mo_coeff.shape[1]
+    na, nb = mol.nelec
+    occ = np.zeros(nmo)
+    occ[:min(nb, nmo)] = 2.0
+    if na > nb and na <= nmo:
+        occ[nb:na] = 1.0
+    return (mo_coeff * occ[None, :]) @ mo_coeff.T
+
+
+def init_guess_by_huckel(mol):
+    """Extended-Hückel guess (reference scf/hf.py:543)."""
+    e, c = _huckel_orbitals(mol, updated_rule=False)
+    return jnp.asarray(_aufbau_rdm1(mol, e, c))
+
+
+def init_guess_by_mod_huckel(mol):
+    """Hückel guess with the updated GWH rule (reference scf/hf.py:554)."""
+    e, c = _huckel_orbitals(mol, updated_rule=True)
+    return jnp.asarray(_aufbau_rdm1(mol, e, c))
