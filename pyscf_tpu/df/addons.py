@@ -48,10 +48,16 @@ def make_auxbasis(mol, mp2fit=False):
 
 
 def make_auxmol(mol, auxbasis=None):
-    """Build a Mole carrying the auxiliary basis on the same geometry."""
+    """Build a Mole carrying the auxiliary basis on the same geometry.
+
+    auxbasis='autoaux' generates an even-tempered fitting set from the
+    orbital basis (reference df/autoaux.py)."""
     from ..gto.mole import Mole
     if auxbasis is None:
         auxbasis = make_auxbasis(mol)
+    if auxbasis == 'autoaux':
+        from .autoaux import autoaux
+        auxbasis = autoaux(mol)
     auxmol = Mole(atom=list(zip(mol.raw_symbols, mol.coords)),
                   basis=auxbasis, unit='bohr', charge=mol.charge,
                   spin=mol.spin, verbose=0)

@@ -67,6 +67,14 @@ def _c_tpss(ra, rb, saa, sab, sbb, ta, tb):
     return F.tpss_c(ra, rb, saa, sab, sbb, ta, tb)
 
 
+def _x_scan(ra, rb, saa, sab, sbb, ta, tb):
+    return F.scan_x(ra, rb, saa, sbb, ta, tb)
+
+
+def _c_scan(ra, rb, saa, sab, sbb, ta, tb):
+    return F.scan_c(ra, rb, saa, sab, sbb, ta, tb)
+
+
 # name -> (family, fn)
 FUNCTIONALS = {
     'SLATER': (LDA, _x_slater),
@@ -88,6 +96,8 @@ FUNCTIONALS = {
     'PW91_C': (GGA, _c_pw91),
     'TPSS_X': (MGGA, _x_tpss),
     'TPSS_C': (MGGA, _c_tpss),
+    'SCAN_X': (MGGA, _x_scan),
+    'SCAN_C': (MGGA, _c_scan),
 }
 
 # compound aliases: (hyb, [(coeff, xname)], [(coeff, cname)])
@@ -108,6 +118,8 @@ COMPOUND = {
                [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
     'PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
     'TPSS': (0.0, [(1.0, 'TPSS_X')], [(1.0, 'TPSS_C')]),
+    'SCAN': (0.0, [(1.0, 'SCAN_X')], [(1.0, 'SCAN_C')]),
+    'SCAN0': (0.25, [(0.75, 'SCAN_X')], [(1.0, 'SCAN_C')]),
     'PW91,PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
     'XLYP': (0.0, [(-0.069, 'SLATER'), (0.722, 'B88'), (0.347, 'PW91_X')],
              [(1.0, 'LYP')]),

@@ -347,6 +347,101 @@ def _pbe_eps(rho_a, rho_b, sigma):
     return pbe_c(rho_a, rho_b, sigma) / jnp.maximum(rho_a + rho_b, _TINY)
 
 
+# ---------------------------------------------------------------------------
+# SCAN meta-GGA (Sun, Ruzsinszky, Perdew, PRL 115, 036402 (2015))
+# ---------------------------------------------------------------------------
+
+def _scan_falpha(alpha, c1, c2, d):
+    """SCAN iso-orbital interpolation f(alpha): 1 at alpha=0, 0 at 1,
+    -d*exp(c2/(1-alpha)) for alpha>1.  Written with clamped branches so
+    autodiff stays finite across the alpha=1 seam."""
+    am = jnp.clip(alpha, 0.0, 1.0 - 1e-9)
+    f_lo = jnp.exp(-c1 * am / (1.0 - am))
+    ap = jnp.maximum(alpha, 1.0 + 1e-9)
+    f_hi = -d * jnp.exp(c2 / (1.0 - ap))
+    return jnp.where(alpha < 1.0, f_lo, f_hi)
+
+
+def _scan_fx_spin(n, sig, tau):
+    """SCAN exchange enhancement for one spin-scaled density n (=2 rho)."""
+    n = jnp.maximum(n, _TINY)
+    sig = jnp.maximum(sig, _TINY)
+    tau = jnp.maximum(tau, _TINY)
+    kf2 = (3.0 * jnp.pi ** 2 * n) ** (2.0 / 3.0)
+    p = sig / (4.0 * kf2 * n * n)
+    s = jnp.sqrt(p)
+    tau_w = sig / (8.0 * n)
+    tau_u = 0.3 * kf2 * n
+    alpha = jnp.maximum((tau - tau_w) / tau_u, 0.0)
+
+    k1 = 0.065
+    mu = 10.0 / 81.0
+    b2 = jnp.sqrt(5913.0 / 405000.0)
+    b1 = (511.0 / 13500.0) / (2.0 * b2)
+    b3 = 0.5
+    b4 = mu * mu / k1 - 1606.0 / 18225.0 - b1 * b1
+    oma = 1.0 - alpha
+    x = (mu * p * (1.0 + (b4 * p / mu) * jnp.exp(-jnp.abs(b4) * p / mu))
+         + (b1 * p + b2 * oma * jnp.exp(-b3 * oma * oma)) ** 2)
+    h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+    h0x = 1.174
+    fx = _scan_falpha(alpha, 0.667, 0.8, 1.24)
+    a1 = 4.9479
+    gx = 1.0 - jnp.exp(-a1 / jnp.sqrt(jnp.maximum(s, 1e-12)))
+    return (h1x + fx * (h0x - h1x)) * gx
+
+
+def scan_x(rho_a, rho_b, sigma_aa, sigma_bb, tau_a, tau_b):
+    e = 0.0
+    for r, s, t in ((rho_a, sigma_aa, tau_a), (rho_b, sigma_bb, tau_b)):
+        n = jnp.maximum(2.0 * r, _TINY)
+        fx = _scan_fx_spin(n, 4.0 * s, 2.0 * t)
+        e = e + 0.5 * _CX * n ** (4.0 / 3.0) * fx
+    return e
+
+
+def scan_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    sigma = jnp.maximum(sigma_aa + 2.0 * sigma_ab + sigma_bb, _TINY)
+    tau = jnp.maximum(tau_a + tau_b, _TINY)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-12, 1 - 1e-12)
+    rs = _rs(rho)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    s = jnp.sqrt(sigma) / (2.0 * kf * rho)
+    tau_w = sigma / (8.0 * rho)
+    ds = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    tau_u = 0.3 * kf * kf * rho * ds
+    alpha = jnp.maximum((tau - tau_w) / tau_u, 0.0)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+
+    # eps_c1: PW92 + SCAN's H1 gradient correction
+    eps_lsda = pw92_eps(rho_a, rho_b)
+    gamma = 0.031090690869654895
+    w1 = jnp.exp(-eps_lsda / (gamma * phi ** 3)) - 1.0
+    t2 = (3.0 * jnp.pi ** 2 / 16.0) ** (2.0 / 3.0) * s * s / (
+        phi * phi * rs)
+    beta = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    y = beta / (gamma * jnp.maximum(w1, _TINY)) * t2
+    gy = (1.0 + 4.0 * y) ** (-0.25)
+    h1 = gamma * phi ** 3 * jnp.log(1.0 + w1 * (1.0 - gy))
+    eps_c1 = eps_lsda + h1
+
+    # eps_c0: single-orbital (alpha=0) limit
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.exp(-eps_lda0 / b1c) - 1.0
+    chi_inf = 0.12802585262625815
+    g_inf = (1.0 + 4.0 * chi_inf * s * s) ** (-0.25)
+    h0 = b1c * jnp.log(1.0 + w0 * (1.0 - g_inf))
+    dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gc_z = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta ** 12)
+    eps_c0 = (eps_lda0 + h0) * gc_z
+
+    fc = _scan_falpha(alpha, 0.64, 1.5, 0.7)
+    eps = eps_c1 + fc * (eps_c0 - eps_c1)
+    return rho * eps
+
+
 def tpss_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
     """TPSS correlation (revPKZB-based)."""
     rho = jnp.maximum(rho_a + rho_b, _TINY)

@@ -30,8 +30,18 @@ def _gth_vlocG(cell, G2):
     G=0 entry holds the regularized (alpha) term. MH (4.79) / PRB 58, 3641.
     """
     out = {}
+    charges = {s: float(z) for s, z in zip(cell.elements_, cell.charges)}
     for symb in set(cell.elements_):
-        pp = cell._pseudo[symb]
+        pp = cell._pseudo.get(symb)
+        if pp is None:
+            # all-electron atom: bare point-charge Coulomb -4 pi Z / G^2,
+            # G=0 dropped (jellium convention; cancels against Ewald)
+            with np.errstate(divide='ignore'):
+                vl = np.where(G2 > 1e-12,
+                              -4.0 * np.pi * charges[symb]
+                              / np.maximum(G2, 1e-30), 0.0)
+            out[symb] = vl
+            continue
         zion = float(sum(pp['nelec']))
         rloc = pp['rloc']
         c = list(pp['cloc']) + [0.0] * (4 - len(pp['cloc']))
@@ -244,7 +254,9 @@ class FFTDF:
         vnl = np.zeros((nao, nao))
         Ls = np.asarray(cell.get_lattice_Ls())
         for ia, symb in enumerate(cell.elements_):
-            pp = cell._pseudo[symb]
+            pp = cell._pseudo.get(symb)
+            if pp is None:
+                continue
             R = np.asarray(cell.coords[ia])
             for l, ch in enumerate(pp['nl']):
                 h = np.asarray(ch['h'])
@@ -407,7 +419,9 @@ class KFFTDF(FFTDF):
         Ls = np.asarray(cell.get_lattice_Ls())
         phases = np.exp(1j * (kpts @ Ls.T))       # (nk, nL)
         for ia, symb in enumerate(cell.elements_):
-            pp = cell._pseudo[symb]
+            pp = cell._pseudo.get(symb)
+            if pp is None:
+                continue
             R = np.asarray(cell.coords[ia])
             for l, ch in enumerate(pp['nl']):
                 h = np.asarray(ch['h'])

@@ -96,19 +96,14 @@ class PCM:
         self._v_ints = None     # (npts, nao, nao) potential integrals
 
     def _potential_ints(self):
-        """<mu| 1/|r-s_k| |nu> for every surface point, via the batched
-        point-charge kernel (one unit charge per call-group)."""
+        """<mu| 1/|r-s_k| |nu> for every surface point, batched through
+        the int3c2e engine with sharp point-charge Gaussians
+        (solvent/ddcosmo.py _point_charge_ints)."""
         if self._v_ints is not None:
             return self._v_ints
-        from ..qmmm import mm_potential
+        from .ddcosmo import _point_charge_ints
         pts, _, _ = self.surface
-        mats = []
-        # evaluate in groups of ATOM_PAD charges: use -1 charge so the
-        # attractive-convention kernel returns +<1/|r-s|>
-        for k in range(len(pts)):
-            m = np.asarray(mm_potential(self.mol, pts[k:k + 1], [-1.0]))
-            mats.append(m)
-        self._v_ints = np.stack(mats)
+        self._v_ints = _point_charge_ints(self.mol, pts)
         return self._v_ints
 
     def kernel(self, dm):
