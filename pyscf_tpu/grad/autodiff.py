@@ -380,4 +380,9 @@ def grad_scf(mf):
     occ = np.asarray(mf.mo_occ)
     moe = np.asarray(mf.mo_energy)
     e_phys = float(e) + float((occ * moe).sum())
-    return e_phys, np.asarray(g)
+    g = np.asarray(g)
+    if getattr(mf, 'with_solvent', None) is not None \
+            and hasattr(mf.with_solvent, '_resp'):
+        from .solvent import pcm_grad
+        g = g + pcm_grad(mf)
+    return e_phys, g
