@@ -28,6 +28,17 @@ class DF:
         from ..ops.device import integral_compute, to_compute_device
         from ..ops.integrals import int2e as int2e_mod
         mol = self.mol
+        # the factorization depends only on (geometry, basis, auxbasis,
+        # omega): cache it on the Mole so fresh mean-field objects on the
+        # same molecule skip the rebuild (the per-geometry analog of the
+        # reference's on-disk _cderi reuse, pyscf/df/df.py:40)
+        cache = getattr(mol, '_df_cache', None)
+        if cache is None:
+            cache = mol._df_cache = {}
+        key = (str(self.auxbasis), self.omega)
+        if key in cache:
+            self.auxmol, self._cderi = cache[key]
+            return self
         self.auxmol = addons.make_auxmol(mol, self.auxbasis)
         naux = self.auxmol.nao
         nao = mol.nao
@@ -41,6 +52,7 @@ class DF:
             rhs = j3c.reshape(nao * nao, naux).T
             B = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
         self._cderi = to_compute_device(B.reshape(naux, nao, nao))
+        cache[key] = (self.auxmol, self._cderi)
         return self
 
     @property

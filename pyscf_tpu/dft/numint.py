@@ -168,7 +168,9 @@ class NumInt:
                 return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
 
             nao = dm.shape[-1]
-            init = (0.0, 0.0, jnp.zeros((nao, nao)))
+            dt = dm.dtype
+            init = (jnp.zeros((), dt), jnp.zeros((), dt),
+                    jnp.zeros((nao, nao), dt))
             (n, e, v), _ = jax.lax.scan(block, init,
                                         (aod_blocks, weights))
             return n, e, v + v.T
@@ -325,7 +327,9 @@ class NumInt:
                 return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
 
             nao = dm.shape[-1]
-            init = (jnp.zeros(2), 0.0, jnp.zeros((2, nao, nao)))
+            dt = dm.dtype
+            init = (jnp.zeros(2, dt), jnp.zeros((), dt),
+                    jnp.zeros((2, nao, nao), dt))
             (n, e, v), _ = jax.lax.scan(block, init, (aod_blocks, weights))
             return n, e, v + v.transpose(0, 2, 1)
 

@@ -34,7 +34,7 @@ def _diis_extrapolate(fh, eh, nval):
     eye = jnp.eye(space, dtype=G.dtype)
     G = jnp.where(vv, G, eye)
     # normalize for conditioning (reference scales by err norms)
-    scale = jnp.sqrt(jnp.maximum(jnp.diagonal(G), 1e-300))
+    scale = jnp.sqrt(jnp.maximum(jnp.diagonal(G), jnp.finfo(G.dtype).tiny))
     scale = jnp.where(valid, scale, 1.0)
     G = G / (scale[:, None] * scale[None, :])
     H = jnp.zeros((space + 1, space + 1), dtype=G.dtype)
@@ -46,13 +46,29 @@ def _diis_extrapolate(fh, eh, nval):
     H = H.at[space, :space].set(cvec)
     rhs = jnp.zeros(space + 1, dtype=G.dtype).at[space].set(-1.0)
     w, v = jnp.linalg.eigh(H)
-    winv = jnp.where(jnp.abs(w) > 1e-14 * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
+    thr = 50.0 * jnp.finfo(G.dtype).eps    # ~1e-14 f64 / ~6e-6 f32
+    winv = jnp.where(jnp.abs(w) > thr * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
     c = v @ (winv * (v.T @ rhs))
     c = jnp.where(valid, c[:space] / scale, 0.0)
     return jnp.tensordot(c, fh, axes=(0, 0))
 
 
-def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None):
+# f32 pre-stage convergence floors: iterate in single precision (MXU-fast)
+# down to these, then refine in f64. Floors sit comfortably above the f32
+# noise plateau so the pre-stage never spins.
+_F32_DE = 1e-5
+_F32_GNORM = 1e-3
+
+
+def _cast_tree(tree, dt):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dt)
+        if (hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating))
+        else a, tree)
+
+
+def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
+                             mixed_precision=True):
     """One-dispatch restricted SCF.
 
     veff_fn(veff_data, dm, co) -> (vhf, e2) must be jit-traceable; co is the
@@ -67,6 +83,14 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None):
     natural orbitals, which both truncates fractional occupations and
     can hit jnp.linalg.eigh NaNs on degenerate guess spectra.
 
+    mixed_precision: when the input data is f64, run a single-precision
+    (f32) stage of the identical cycle body first and hand its converged
+    orbitals to the f64 loop. On TPU f64 matmuls are software-emulated
+    (~20-30x slower than f32 on the MXU), so most cycles run at f32 speed
+    and only the last 2-4 refinement cycles pay f64 cost. The final
+    energies/orbitals come from the f64 stage: golden-value accuracy is
+    unchanged.
+
     Returns a jitted program
       program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
               max_cycle) -> (e_elec, converged, n_cycles, mo_energy,
@@ -78,12 +102,46 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None):
         e, cp = jnp.linalg.eigh(fp)
         return e, x @ cp
 
+    def stage(veff_data, h1e, s1e, x, co0, conv_tol, conv_tol_grad,
+              max_cycle, cyc0):
+        """DIIS SCF loop at the dtype of its inputs; returns final state."""
+        dt = h1e.dtype
+        nao = h1e.shape[0]
+        space = diis_space
+        occ_scale = jnp.sqrt(jnp.asarray(2.0, dt))
+
+        def body(st):
+            cyc, done, e_prev, co, f_last, fh, eh = st
+            dm = co @ co.T
+            vhf, e2 = veff_fn(veff_data, dm, co)
+            f = h1e + vhf
+            e_elec = jnp.sum(h1e * dm) + e2
+            sdf = s1e @ dm @ f
+            err = sdf.T - sdf
+            idx = jnp.mod(cyc - cyc0, space)
+            fh = fh.at[idx].set(f)
+            eh = eh.at[idx].set(err)
+            f_d = _diis_extrapolate(fh, eh,
+                                    jnp.minimum(cyc - cyc0 + 1, space))
+            _, moc_n = eigh_gen(f_d, x)
+            co_n = moc_n[:, :nocc] * occ_scale
+            gnorm = jnp.linalg.norm(x.T @ err @ x)
+            de = jnp.abs(e_elec - e_prev)
+            done = (de < conv_tol) & (gnorm < conv_tol_grad)
+            return (cyc + 1, done, e_elec, co_n, f, fh, eh)
+
+        def cond(st):
+            return (~st[1]) & (st[0] < max_cycle)
+
+        init = (cyc0, jnp.bool_(False), jnp.asarray(0.0, dt), co0,
+                jnp.zeros((nao, nao), dt),
+                jnp.zeros((space, nao, nao), dt),
+                jnp.zeros((space, nao, nao), dt))
+        return jax.lax.while_loop(cond, body, init)
+
     @jax.jit
     def program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
                 max_cycle):
-        nao = h1e.shape[0]
-        space = diis_space
-
         if veff_dm_fn is not None:
             # seed by diagonalizing the Fock of the untruncated guess
             vhf0, _ = veff_dm_fn(veff_data, dm0)
@@ -95,34 +153,22 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None):
             co0 = (u0[:, ::-1][:, :nocc]
                    * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
 
-        def body(st):
-            cyc, done, e_prev, co, f_last, fh, eh = st
-            dm = co @ co.T
-            vhf, e2 = veff_fn(veff_data, dm, co)
-            f = h1e + vhf
-            e_elec = jnp.sum(h1e * dm) + e2
-            sdf = s1e @ dm @ f
-            err = sdf.T - sdf
-            idx = jnp.mod(cyc, space)
-            fh = fh.at[idx].set(f)
-            eh = eh.at[idx].set(err)
-            f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, space))
-            _, moc_n = eigh_gen(f_d, x)
-            co_n = moc_n[:, :nocc] * jnp.sqrt(2.0)
-            gnorm = jnp.linalg.norm(x.T @ err @ x)
-            de = jnp.abs(e_elec - e_prev)
-            done = (de < conv_tol) & (gnorm < conv_tol_grad)
-            return (cyc + 1, done, e_elec, co_n, f, fh, eh)
+        cyc0 = jnp.int32(0)
+        if mixed_precision and h1e.dtype == jnp.float64:
+            f32 = jnp.float32
+            d32 = _cast_tree(veff_data, f32)
+            cyc32, _, _, co32, _, _, _ = stage(
+                d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
+                co0.astype(f32),
+                jnp.maximum(conv_tol, _F32_DE).astype(f32),
+                jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
+                max_cycle, cyc0)
+            co0 = co32.astype(h1e.dtype)
+            cyc0 = cyc32
 
-        def cond(st):
-            return (~st[1]) & (st[0] < max_cycle)
-
-        dt = h1e.dtype
-        init = (jnp.int32(0), jnp.bool_(False), jnp.asarray(0.0, dt), co0,
-                jnp.zeros((nao, nao), dt),
-                jnp.zeros((space, nao, nao), dt),
-                jnp.zeros((space, nao, nao), dt))
-        cyc, done, _, _, f_last, _, _ = jax.lax.while_loop(cond, body, init)
+        cyc, done, _, _, f_last, _, _ = stage(
+            veff_data, h1e, s1e, x, co0, conv_tol, conv_tol_grad,
+            max_cycle + cyc0, cyc0)
         # extra diagonalization of the TRUE (un-extrapolated) converged Fock
         # for canonical mo_energy/mo_coeff (reference scf/hf.py:214-243),
         # then one final energy consistent with that density
@@ -143,7 +189,7 @@ def _occ_factor(dm, n):
 
 
 def build_unrestricted_program(na, nb, diis_space, veff_fn,
-                               veff_dm_fn=None):
+                               veff_dm_fn=None, mixed_precision=True):
     """One-dispatch unrestricted SCF (UHF/UKS).
 
     veff_fn(veff_data, dma, dmb, coa, cob) -> (vhf (2,n,n), e2) traceable;
@@ -165,22 +211,7 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
         e, cp = jnp.linalg.eigh(fp)
         return e, x @ cp
 
-    @jax.jit
-    def program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
-                max_cycle):
-        nao = h1e.shape[0]
-        space = diis_space
-        if veff_dm_fn is not None:
-            vhf0, _ = veff_dm_fn(veff_data, dm0[0], dm0[1])
-            fp = jnp.einsum('ji,sjk,kl->sil', x, h1e[None] + vhf0, x)
-            _, cpa = jnp.linalg.eigh(fp[0])
-            _, cpb = jnp.linalg.eigh(fp[1])
-            coa0 = (x @ cpa)[:, :na]
-            cob0 = (x @ cpb)[:, :nb]
-        else:
-            coa0 = _occ_factor(dm0[0], na)
-            cob0 = _occ_factor(dm0[1], nb)
-
+    def make_fock_and_energy(veff_data, h1e, s1e):
         def err_of(dm, f):
             sdf = s1e @ dm @ f
             return sdf.T - sdf
@@ -193,14 +224,23 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
             e_elec = jnp.sum(h1e * (dma + dmb)) + e2
             err = jnp.stack([err_of(dma, f[0]), err_of(dmb, f[1])])
             return f, e_elec, err
+        return fock_and_energy
+
+    def stage(veff_data, h1e, s1e, x, coa0, cob0, conv_tol, conv_tol_grad,
+              max_cycle, cyc0):
+        dt = h1e.dtype
+        nao = h1e.shape[0]
+        space = diis_space
+        fock_and_energy = make_fock_and_energy(veff_data, h1e, s1e)
 
         def body(st):
             cyc, done, e_prev, coa, cob, fh, eh = st
             f, e_elec, err = fock_and_energy(coa, cob)
-            idx = jnp.mod(cyc, space)
+            idx = jnp.mod(cyc - cyc0, space)
             fh = fh.at[idx].set(f)
             eh = eh.at[idx].set(err)
-            f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, space))
+            f_d = _diis_extrapolate(fh, eh,
+                                    jnp.minimum(cyc - cyc0 + 1, space))
             _, ca = eigh_gen(f_d[0], x)
             _, cb = eigh_gen(f_d[1], x)
             coa_n = ca[:, :na]
@@ -214,13 +254,45 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
         def cond(st):
             return (~st[1]) & (st[0] < max_cycle)
 
-        dt = h1e.dtype
-        init = (jnp.int32(0), jnp.bool_(False), jnp.asarray(0.0, dt),
+        init = (cyc0, jnp.bool_(False), jnp.asarray(0.0, dt),
                 coa0, cob0,
                 jnp.zeros((space, 2, nao, nao), dt),
                 jnp.zeros((space, 2, nao, nao), dt))
-        cyc, done, _, coa, cob, _, _ = jax.lax.while_loop(cond, body, init)
+        return jax.lax.while_loop(cond, body, init)
+
+    @jax.jit
+    def program(veff_data, h1e, s1e, x, dm0, conv_tol, conv_tol_grad,
+                max_cycle):
+        if veff_dm_fn is not None:
+            vhf0, _ = veff_dm_fn(veff_data, dm0[0], dm0[1])
+            fp = jnp.einsum('ji,sjk,kl->sil', x, h1e[None] + vhf0, x)
+            _, cpa = jnp.linalg.eigh(fp[0])
+            _, cpb = jnp.linalg.eigh(fp[1])
+            coa0 = (x @ cpa)[:, :na]
+            cob0 = (x @ cpb)[:, :nb]
+        else:
+            coa0 = _occ_factor(dm0[0], na)
+            cob0 = _occ_factor(dm0[1], nb)
+
+        cyc0 = jnp.int32(0)
+        if mixed_precision and h1e.dtype == jnp.float64:
+            f32 = jnp.float32
+            d32 = _cast_tree(veff_data, f32)
+            cyc32, _, _, coa32, cob32, _, _ = stage(
+                d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
+                coa0.astype(f32), cob0.astype(f32),
+                jnp.maximum(conv_tol, _F32_DE).astype(f32),
+                jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
+                max_cycle, cyc0)
+            coa0 = coa32.astype(h1e.dtype)
+            cob0 = cob32.astype(h1e.dtype)
+            cyc0 = cyc32
+
+        cyc, done, _, coa, cob, _, _ = stage(
+            veff_data, h1e, s1e, x, coa0, cob0, conv_tol, conv_tol_grad,
+            max_cycle + cyc0, cyc0)
         # extra diagonalization of the true Fock (reference hf.py:214-243)
+        fock_and_energy = make_fock_and_energy(veff_data, h1e, s1e)
         f, _, _ = fock_and_energy(coa, cob)
         ea, ca = eigh_gen(f[0], x)
         eb, cb = eigh_gen(f[1], x)

@@ -286,7 +286,7 @@ class SCF:
                 and self.level_shift == 0
                 and getattr(self, 'sigma', None) in (None, 0))
 
-    def _kernel_fused(self, dm0=None):
+    def _kernel_fused(self, dm0=None, _veff_res=None):
         from .fused import (build_restricted_program,
                             build_unrestricted_program, get_program)
         mol = self.mol
@@ -300,20 +300,23 @@ class SCF:
         log.timer('1e integrals + orthogonalizer')
         dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
         log.timer('initial guess')
-        res = self._fused_veff()
+        res = self._fused_veff() if _veff_res is None else _veff_res
         kind, veff_fn, veff_data = res[:3]
         veff_dm_fn = res[3] if len(res) > 3 else None
         log.timer('veff data (DF factor / grid AO values)')
+        mixed = getattr(self, 'fused_mixed_precision', True)
         if self._fused_kind == 'restricted':
             nocc = mol.nelectron // 2
-            key = (kind, mol.nao, nocc, self.diis_space)
+            key = (kind, mol.nao, nocc, self.diis_space, mixed)
             prog = get_program(mol, key, lambda: build_restricted_program(
-                nocc, self.diis_space, veff_fn, veff_dm_fn))
+                nocc, self.diis_space, veff_fn, veff_dm_fn,
+                mixed_precision=mixed))
         else:
             na, nb = mol.nelec
-            key = (kind, mol.nao, na, nb, self.diis_space)
+            key = (kind, mol.nao, na, nb, self.diis_space, mixed)
             prog = get_program(mol, key, lambda: build_unrestricted_program(
-                na, nb, self.diis_space, veff_fn, veff_dm_fn))
+                na, nb, self.diis_space, veff_fn, veff_dm_fn,
+                mixed_precision=mixed))
         e_elec, done, ncyc, moe, moc, dm = prog(
             veff_data, h1e, s1e, self._orth, dm,
             self.conv_tol, conv_tol_grad, self.max_cycle)
@@ -337,7 +340,7 @@ class SCF:
         if self._fused_ok() and self.verbose < param.VERBOSE_DEBUG:
             res = self._fused_veff()
             if res is not None:
-                return self._kernel_fused(dm0)
+                return self._kernel_fused(dm0, _veff_res=res)
         mol = self.mol
         log = logger.new_logger(self)
         t_start = time.time()
