@@ -1,11 +1,16 @@
 """Closed-shell CCSD (analog of reference pyscf/cc/ccsd.py: CCSD:1265,
-kernel:44, update_amps:104).
+kernel:44, update_amps:104; DF variant of cc/dfccsd.py).
 
 Amplitude equations are the spin-adapted closed-shell CCSD equations of
 Hirata et al., JCP 120, 2581 (2004), Eqs. (35)-(45), implemented as one
 jitted XLA program per iteration (dense MXU contractions over MO-block
-tensors held in HBM). The reference's HDF5-blocked out-of-core paths are
-replaced by device memory; DIIS runs on stacked amplitude vectors.
+tensors held in HBM). With density fitting the (vv|vv) tensor is NEVER
+materialized: the tau.(vv|vv) ladder term is accumulated from the 3-index
+factor B_vv in fixed-size auxiliary chunks via lax.scan (the device analog
+of the reference's blocked _add_vvvv, pyscf/cc/ccsd.py:362 + dfccsd.py),
+capping per-step memory at chunk x nocc^2 x nvir^2. The reference's
+HDF5-blocked out-of-core paths are replaced by device memory; DIIS runs
+on stacked amplitude vectors.
 """
 import time
 from types import SimpleNamespace
@@ -15,10 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lib.diis import DIIS
+from ..lib import logger
+
+VVVV_AUX_CHUNK = 32     # aux slots per ladder-scan step
 
 
 def _make_eris(mycc):
-    """MO-basis chemists'-notation blocks (ov|ov) etc. from the SCF."""
+    """MO-basis chemists'-notation blocks (ov|ov) etc. from the SCF.
+
+    DF mean-fields keep the 3-index B_vv factor instead of (vv|vv)."""
     mf = mycc._scf
     mol = mycc.mol
     occ = np.asarray(mycc.mo_occ) > 0
@@ -27,25 +37,40 @@ def _make_eris(mycc):
     cv = jnp.asarray(mycc.mo_coeff[:, ~occ])
     mo = jnp.concatenate([co, cv], axis=1)
     nocc = co.shape[1]
-    if getattr(mf, 'with_df', None) is not None:
-        from ..df.df_jk import _bmo
-        B = _bmo(mf.with_df.cderi, mo, mo)
-        eri = jnp.einsum('xpq,xrs->pqrs', B, B)
-    else:
-        eri_ao = mf._eri if mf._eri is not None else mol.intor('int2e')
-        from .. import ao2mo
-        eri = ao2mo.full(eri_ao, mo)
-    o = slice(0, nocc)
-    v = slice(nocc, None)
     e_mo = jnp.asarray(mf.mo_energy)
     eo = e_mo[occ][frozen:]
     ev = e_mo[~occ]
     fock_mo = jnp.diag(jnp.concatenate([eo, ev]))
+    common = dict(fock=fock_mo, mo_energy=jnp.concatenate([eo, ev]),
+                  nocc=nocc)
+    if getattr(mf, 'with_df', None) is not None:
+        B = mf.with_df.cderi
+        Bo = jnp.einsum('pij,io->poj', B, co)          # (naux, no, nao)
+        Boo = jnp.einsum('poj,jm->pom', Bo, co)
+        Bov = jnp.einsum('poj,ja->poa', Bo, cv)
+        Bvv = jnp.einsum('pij,ia,jb->pab', B, cv, cv)
+        naux = B.shape[0]
+        pad = -naux % VVVV_AUX_CHUNK
+        Bvv_c = jnp.pad(Bvv, ((0, pad), (0, 0), (0, 0))).reshape(
+            (naux + pad) // VVVV_AUX_CHUNK, VVVV_AUX_CHUNK,
+            cv.shape[1], cv.shape[1])
+        return SimpleNamespace(
+            oooo=jnp.einsum('xij,xkl->ijkl', Boo, Boo),
+            ooov=jnp.einsum('xij,xka->ijka', Boo, Bov),
+            oovv=jnp.einsum('xij,xab->ijab', Boo, Bvv),
+            ovov=jnp.einsum('xia,xjb->iajb', Bov, Bov),
+            ovvo=jnp.einsum('xia,xjb->iabj', Bov, Bov),
+            ovvv=jnp.einsum('xia,xbc->iabc', Bov, Bvv),
+            vvvv=None, Bvv=Bvv_c, **common)
+    eri_ao = mf._eri if mf._eri is not None else mol.intor('int2e')
+    from .. import ao2mo
+    eri = ao2mo.full(eri_ao, mo)
+    o = slice(0, nocc)
+    v = slice(nocc, None)
     return SimpleNamespace(
         oooo=eri[o, o, o, o], ooov=eri[o, o, o, v], oovv=eri[o, o, v, v],
         ovov=eri[o, v, o, v], ovvo=eri[o, v, v, o], ovvv=eri[o, v, v, v],
-        vvvv=eri[v, v, v, v], fock=fock_mo, mo_energy=jnp.concatenate([eo, ev]),
-        nocc=nocc)
+        vvvv=eri[v, v, v, v], Bvv=None, **common)
 
 
 @jax.jit
@@ -57,10 +82,31 @@ def energy(t1, t2, ovov):
     return e
 
 
+def _vvvv_tau_df(Bvv_c, tau):
+    """sum_cd (ac|bd) tau_ijcd from chunked B_vv, no (vv|vv) in memory.
+
+    Bvv_c: (nchunk, chunk, v, v) zero-padded aux chunks. One lax.scan
+    step holds a (chunk, o, o, v, v) intermediate; padding chunks are
+    zero so they add nothing. Analog of reference _add_vvvv
+    (pyscf/cc/ccsd.py:362) with aux blocking instead of virtual tiles."""
+
+    def body(acc, Bx):
+        tmp = jnp.einsum('xac,ijcd->xijad', Bx, tau)
+        return acc + jnp.einsum('xbd,xijad->ijab', Bx, tmp), None
+
+    init = jnp.zeros_like(tau)
+    out, _ = jax.lax.scan(body, init, Bvv_c)
+    return out
+
+
 @jax.jit
 def update_amps(t1, t2, eris_tuple):
-    """One CCSD iteration: Hirata Eqs. (35)-(45), closed shell."""
-    (oooo, ooov, oovv, ovov, ovvo, ovvv, vvvv, mo_energy, nocc_arr) = \
+    """One CCSD iteration: Hirata Eqs. (35)-(45), closed shell.
+
+    eris_tuple carries either a dense vvvv (in-core path) or the chunked
+    DF factor Bvv (ladder term via _vvvv_tau_df); exactly one is not None.
+    """
+    (oooo, ooov, oovv, ovov, ovvo, ovvv, vvvv, Bvv, mo_energy) = \
         eris_tuple
     nocc = t1.shape[0]
     eo = mo_energy[:nocc]
@@ -92,9 +138,6 @@ def update_amps(t1, t2, eris_tuple):
              + jnp.einsum('kcld,ijcd->klij', ovov, t2)
              + jnp.einsum('kcld,ic,jd->klij', ovov, t1, t1)
              + oooo.transpose(0, 2, 1, 3))
-    Wvvvv = (-jnp.einsum('kdac,kb->abcd', ovvv, t1)
-             - jnp.einsum('kcbd,ka->abcd', ovvv, t1)
-             + vvvv.transpose(0, 2, 1, 3))
     Wvoov = (jnp.einsum('kcad,id->akic', ovvv, t1)
              - jnp.einsum('kcli,la->akic', ovoo, t1)
              + ovvo.transpose(2, 0, 3, 1)
@@ -129,7 +172,16 @@ def update_amps(t1, t2, eris_tuple):
     tau = t2 + jnp.einsum('ia,jb->ijab', t1, t1)
     t2new = ovov.transpose(0, 2, 1, 3)
     t2new = t2new + jnp.einsum('klij,klab->ijab', Woooo, tau)
-    t2new = t2new + jnp.einsum('abcd,ijcd->ijab', Wvvvv, tau)
+    # ladder term Wvvvv.tau; the t1 corrections to Wvvvv are contracted
+    # directly against tau so only the bare (ac|bd).tau needs vvvv/B
+    tmp = jnp.einsum('kdac,ijcd->kaij', ovvv, tau)
+    t2new = t2new - jnp.einsum('kaij,kb->ijab', tmp, t1)
+    tmp = jnp.einsum('kcbd,ijcd->kbij', ovvv, tau)
+    t2new = t2new - jnp.einsum('kbij,ka->ijab', tmp, t1)
+    if Bvv is not None:
+        t2new = t2new + _vvvv_tau_df(Bvv, tau)
+    else:
+        t2new = t2new + jnp.einsum('acbd,ijcd->ijab', vvvv, tau)
     tmp = jnp.einsum('ac,ijcb->ijab', Lvv, t2)
     t2new = t2new + tmp + tmp.transpose(1, 0, 3, 2)
     tmp = jnp.einsum('ki,kjab->ijab', Loo, t2)
@@ -202,19 +254,19 @@ class CCSD:
         return emp2, t1, t2
 
     def kernel(self, t1=None, t2=None):
+        log = logger.new_logger(self)
         t_start = time.time()
         eris = self._eris = self.ao2mo()
+        log.timer('CCSD integral transformation')
         t1_in, t2_in = t1, t2
         emp2, t1, t2 = self.init_amps(eris)
         if t1_in is not None and t2_in is not None:
             # restart amplitudes (chkfile resume or user-provided guess)
             t1 = jnp.asarray(t1_in)
             t2 = jnp.asarray(t2_in)
-        if self.verbose >= 4:
-            print(f'MP2 initial guess E_corr = {emp2:.12f}')
+        log.info('MP2 initial guess E_corr = %.12f', emp2)
         eris_tuple = (eris.oooo, eris.ooov, eris.oovv, eris.ovov, eris.ovvo,
-                      eris.ovvv, eris.vvvv, eris.mo_energy,
-                      jnp.asarray(eris.nocc))
+                      eris.ovvv, eris.vvvv, eris.Bvv, eris.mo_energy)
         diis = DIIS(self.diis_space)
         e_last = emp2
         conv = False
@@ -228,9 +280,9 @@ class CCSD:
             e_corr = float(energy(t1, t2, eris.ovov))
             de = e_corr - e_last
             e_last = e_corr
-            if self.verbose >= 4:
-                print(f'cycle = {it + 1}  E_corr(CCSD) = {e_corr:.12f}  '
-                      f'dE = {de:.3g}  norm(t1,t2) = {normt:.3g}')
+            log.info('cycle = %d  E_corr(CCSD) = %.12f  dE = %.3g  '
+                     'norm(t1,t2) = %.3g', it + 1, e_corr, de, normt)
+            log.timer('CCSD iter %d' % (it + 1))
             if getattr(self, 'chkfile', None):
                 self.dump_chk(t1, t2, e_corr)
             if abs(de) < self.conv_tol and normt < self.conv_tol_normt:
@@ -239,10 +291,9 @@ class CCSD:
         self.converged = conv
         self.e_corr = e_corr
         self.t1, self.t2 = t1, t2
-        if self.verbose >= 3:
-            state = 'converged' if conv else 'NOT converged'
-            print(f'CCSD {state}. E_corr = {self.e_corr:.12f} '
-                  f'({time.time() - t_start:.1f}s)')
+        state = 'converged' if conv else 'NOT converged'
+        log.note('CCSD %s. E_corr = %.12f (%.1fs)', state, self.e_corr,
+                 time.time() - t_start)
         return self.e_corr, t1, t2
 
     run = kernel
