@@ -169,8 +169,11 @@ class NumInt:
 
             nao = dm.shape[-1]
             dt = dm.dtype
-            init = (jnp.zeros((), dt), jnp.zeros((), dt),
-                    jnp.zeros((nao, nao), dt))
+            # zero seeded from the scanned input: under shard_map this
+            # carries the input's varying-manual-axes type so the scan
+            # carry typechecks (outside shard_map it folds to plain 0)
+            zv = (jnp.sum(weights[:1, :1]) * 0.0).astype(dt)
+            init = (zv, zv, jnp.zeros((nao, nao), dt) + zv)
             (n, e, v), _ = jax.lax.scan(block, init,
                                         (aod_blocks, weights))
             return n, e, v + v.T
@@ -328,8 +331,9 @@ class NumInt:
 
             nao = dm.shape[-1]
             dt = dm.dtype
-            init = (jnp.zeros(2, dt), jnp.zeros((), dt),
-                    jnp.zeros((2, nao, nao), dt))
+            zv = (jnp.sum(weights[:1, :1]) * 0.0).astype(dt)
+            init = (jnp.zeros(2, dt) + zv, zv,
+                    jnp.zeros((2, nao, nao), dt) + zv)
             (n, e, v), _ = jax.lax.scan(block, init, (aod_blocks, weights))
             return n, e, v + v.transpose(0, 2, 1)
 

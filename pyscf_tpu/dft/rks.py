@@ -36,6 +36,46 @@ class RKS(KohnShamDFT, RHF):
         core = self._numint._get_rks_core_aod(self.mol, self.xc)
         omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
         data = {'aod': aod, 'weights': weights}
+        mesh = getattr(self, 'mesh', None)
+        if self.with_df is not None and mesh is not None:
+            # multi-chip fused Fock: grid blocks and the DF aux axis are
+            # sharded over the mesh; XC/J/K partials psum over ICI.
+            # TPU-native replacement for the reference's MPI distribution
+            # (pyscf/pbc/mpitools/mpi.py).
+            from ..parallel.mesh import (shard_put, df_jk_sharded,
+                                         xc_core_sharded)
+            data['aod'] = shard_put(aod, mesh, 0)
+            data['weights'] = shard_put(weights, mesh, 0)
+            data['B'] = shard_put(self.with_df.cderi, mesh, 0)
+            if omega:
+                data['Blr'] = shard_put(self._df_lr(omega).cderi, mesh, 0)
+            xc_run = xc_core_sharded(mesh, core, gga=(deriv == 1))
+            jk_occ = df_jk_sharded(mesh, with_k_occ=True)
+            jk_dm = df_jk_sharded(mesh, with_k_occ=False)
+
+            def _veff(data, dm, co, jk):
+                n, exc, vxc = xc_run(data['aod'], data['weights'], dm)
+                vj, vk_full = jk(data['B'], dm, dm if co is None else co)
+                e2 = 0.5 * jnp.sum(vj * dm) + exc
+                vhf = vxc + vj
+                if hyb != 0.0 or omega:
+                    vk = hyb * vk_full
+                    if omega:
+                        vk = vk + (alpha - hyb) * jk(
+                            data['Blr'], dm, dm if co is None else co)[1]
+                    vhf = vhf - 0.5 * vk
+                    e2 = e2 - 0.25 * jnp.sum(vk * dm)
+                return vhf, e2
+
+            def veff_fn(data, dm, co):
+                return _veff(data, dm, co, jk_occ)
+
+            def veff_dm_fn(data, dm):
+                return _veff(data, dm, None, jk_dm)
+
+            key = ('rks-df-mesh', self.xc, hyb, omega, data['B'].shape,
+                   data['aod'].shape, mesh.devices.size)
+            return key, veff_fn, data, veff_dm_fn
         if self.with_df is not None:
             data['B'] = self.with_df.cderi
             if omega:

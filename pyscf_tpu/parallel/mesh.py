@@ -31,6 +31,78 @@ def pad_to_multiple(x, n, axis=0):
     return jnp.pad(x, pad)
 
 
+def shard_put(x, mesh, axis=0):
+    """Pad x's axis to a multiple of the mesh size and lay it out sharded.
+
+    Zero padding is contribution-free for every consumer here (zero aux
+    rows / zero grid weights)."""
+    from jax.sharding import NamedSharding
+    n = mesh.devices.size
+    x = pad_to_multiple(jnp.asarray(x), n, axis)
+    spec = [None] * x.ndim
+    spec[axis] = mesh.axis_names[0]
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def df_jk_sharded(mesh, with_k_occ):
+    """Traceable (B, dm, co) -> (vj, vk) with the aux axis sharded.
+
+    The algebra matches the serial fused-SCF J/K exactly; each device
+    contracts its aux slice and the partial J/K are psum-reduced over ICI.
+    with_k_occ: K from the sqrt(occ)-scaled orbital factor co
+    (O(naux nao^2 nocc)) instead of the density (O(naux nao^3)).
+    """
+    axis = mesh.axis_names[0]
+
+    if with_k_occ:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(axis, None, None), P(None, None),
+                           P(None, None)),
+                 out_specs=(P(None, None), P(None, None)))
+        def jk(B, dm, co):
+            rho = jnp.einsum('pkl,lk->p', B, dm)
+            vj = jax.lax.psum(jnp.einsum('p,pij->ij', rho, B), axis)
+            Bo = jnp.einsum('pij,jo->pio', B, co)
+            vk = jax.lax.psum(jnp.einsum('pio,pjo->ij', Bo, Bo), axis)
+            return vj, vk
+    else:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(axis, None, None), P(None, None),
+                           P(None, None)),
+                 out_specs=(P(None, None), P(None, None)))
+        def jk(B, dm, _unused):
+            rho = jnp.einsum('pkl,lk->p', B, dm)
+            vj = jax.lax.psum(jnp.einsum('p,pij->ij', rho, B), axis)
+            Bd = jnp.einsum('pil,lk->pik', B, dm)
+            vk = jax.lax.psum(jnp.einsum('pik,pkj->ij', Bd, B), axis)
+            return vj, vk
+
+    return jk
+
+
+def xc_core_sharded(mesh, core, gga):
+    """Wrap a numint block-scan core so grid BLOCKS are sharded.
+
+    core(aod_local, weights_local, dm) -> (n, e, v) is the exact serial
+    scan body (dft/numint.py _get_rks_core_aod); each device scans its
+    own grid blocks, partial (n, e, vmat) are psum-reduced.
+    aod: (nblk, 4, blk, nao) for GGA/mGGA, (nblk, blk, nao) for LDA,
+    sharded on nblk; weights (nblk, blk) sharded alike.
+    """
+    axis = mesh.axis_names[0]
+    aod_spec = P(axis, None, None, None) if gga else P(axis, None, None)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(aod_spec, P(axis, None), P(None, None)),
+             out_specs=(P(), P(), P(None, None)))
+    def run(aod, w, dm):
+        n, e, v = core(aod, w, dm)
+        return (jax.lax.psum(n, axis), jax.lax.psum(e, axis),
+                jax.lax.psum(v, axis))
+
+    return run
+
+
 def sharded_df_jk(mesh):
     """DF J/K build with the aux dimension sharded over the mesh.
 

@@ -53,11 +53,13 @@ def _diis_extrapolate(fh, eh, nval):
     return jnp.tensordot(c, fh, axes=(0, 0))
 
 
-# f32 pre-stage convergence floors: iterate in single precision (MXU-fast)
-# down to these, then refine in f64. Floors sit comfortably above the f32
-# noise plateau so the pre-stage never spins.
-_F32_DE = 1e-5
+# f32 pre-stage stop criteria. The energy delta in f32 bottoms out at
+# eps32*|E| (~1e-5 for a 100-electron molecule) so it cannot gate the
+# pre-stage; the orbital-gradient norm is scale-free and reliably reaches
+# ~1e-4 in f32. A hard cycle cap guards against dithering at the plateau.
+_F32_DE = 1e-2          # effectively: stop on gradient, not energy
 _F32_GNORM = 1e-3
+_F32_MAX_CYCLE = 30
 
 
 def _cast_tree(tree, dt):
@@ -162,7 +164,7 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
                 co0.astype(f32),
                 jnp.maximum(conv_tol, _F32_DE).astype(f32),
                 jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
-                max_cycle, cyc0)
+                jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
             co0 = co32.astype(h1e.dtype)
             cyc0 = cyc32
 
@@ -283,7 +285,7 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
                 coa0.astype(f32), cob0.astype(f32),
                 jnp.maximum(conv_tol, _F32_DE).astype(f32),
                 jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
-                max_cycle, cyc0)
+                jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
             coa0 = coa32.astype(h1e.dtype)
             cob0 = cob32.astype(h1e.dtype)
             cyc0 = cyc32

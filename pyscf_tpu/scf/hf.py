@@ -97,6 +97,9 @@ class SCF:
         self.chkfile = None
         self._eri = None
         self.with_df = None
+        # jax.sharding.Mesh: shard the fused Fock build over devices
+        # (DF-J/K over aux, XC over grid blocks); None = single device
+        self.mesh = None
 
     # ---------------- integrals -------------------------------------
     def get_hcore(self, mol=None):
@@ -522,6 +525,26 @@ class RHF(SCF):
     def _fused_veff(self):
         if self.with_df is not None:
             B = self.with_df.cderi
+            mesh = self.mesh
+            if mesh is not None:
+                # aux axis sharded over the mesh; J/K partials psum over ICI
+                from ..parallel.mesh import shard_put, df_jk_sharded
+                B = shard_put(B, mesh, 0)
+                jk_occ = df_jk_sharded(mesh, with_k_occ=True)
+                jk_dm = df_jk_sharded(mesh, with_k_occ=False)
+
+                def veff_fn(data, dm, co):
+                    vj, vk = jk_occ(data['B'], dm, co)
+                    vhf = vj - 0.5 * vk
+                    return vhf, 0.5 * jnp.sum(vhf * dm)
+
+                def veff_dm_fn(data, dm):
+                    vj, vk = jk_dm(data['B'], dm, dm)
+                    vhf = vj - 0.5 * vk
+                    return vhf, 0.5 * jnp.sum(vhf * dm)
+
+                key = ('rhf-df-mesh', B.shape, mesh.devices.size)
+                return key, veff_fn, {'B': B}, veff_dm_fn
 
             def veff_fn(data, dm, co):
                 B = data['B']
