@@ -159,12 +159,16 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
         if mixed_precision and h1e.dtype == jnp.float64:
             f32 = jnp.float32
             d32 = _cast_tree(veff_data, f32)
-            cyc32, _, _, co32, _, _, _ = stage(
-                d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
-                co0.astype(f32),
-                jnp.maximum(conv_tol, _F32_DE).astype(f32),
-                jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
-                jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
+            # 'highest' = true-f32 MXU matmuls (multi-pass bf16); the
+            # default fast mode plateaus at ~2e-3 relative error and the
+            # pre-stage would never reach its gradient floor on TPU
+            with jax.default_matmul_precision('highest'):
+                cyc32, _, _, co32, _, _, _ = stage(
+                    d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
+                    co0.astype(f32),
+                    jnp.maximum(conv_tol, _F32_DE).astype(f32),
+                    jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
+                    jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
             co0 = co32.astype(h1e.dtype)
             cyc0 = cyc32
 
@@ -280,12 +284,13 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
         if mixed_precision and h1e.dtype == jnp.float64:
             f32 = jnp.float32
             d32 = _cast_tree(veff_data, f32)
-            cyc32, _, _, coa32, cob32, _, _ = stage(
-                d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
-                coa0.astype(f32), cob0.astype(f32),
-                jnp.maximum(conv_tol, _F32_DE).astype(f32),
-                jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
-                jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
+            with jax.default_matmul_precision('highest'):
+                cyc32, _, _, coa32, cob32, _, _ = stage(
+                    d32, h1e.astype(f32), s1e.astype(f32), x.astype(f32),
+                    coa0.astype(f32), cob0.astype(f32),
+                    jnp.maximum(conv_tol, _F32_DE).astype(f32),
+                    jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
+                    jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
             coa0 = coa32.astype(h1e.dtype)
             cob0 = cob32.astype(h1e.dtype)
             cyc0 = cyc32

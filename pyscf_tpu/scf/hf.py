@@ -324,6 +324,7 @@ class SCF:
             veff_data, h1e, s1e, self._orth, dm,
             self.conv_tol, conv_tol_grad, self.max_cycle)
         self.converged = bool(done)
+        self.scf_cycles = int(ncyc)
         log.timer('fused SCF while_loop (%d cycles)' % int(ncyc))
         self.e_tot = float(e_elec) + self.energy_nuc()
         self.mo_energy = moe
