@@ -191,62 +191,21 @@ class NumInt:
 
     def _get_rks_core(self, mol, xc_code):
         """Unjitted traceable (coords, weights, dm) -> (n, exc, vmat); for
-        fusion into larger programs (the fused SCF step)."""
+        fusion into larger programs (the fused SCF step).  Evaluates AOs
+        per block then defers to the aod core (single source of the
+        LDA/GGA/mGGA quadrature math)."""
         key = (id(mol), xc_code, 'r')
         if key in self._cache:
             return self._cache[key]
         xc = xc_mod.parse_xc(xc_code)
-        deriv = 1 if xc.is_gga else 0
-
-        def edens_closed(rho, sigma):
-            ra = 0.5 * rho
-            s4 = 0.25 * sigma
-            return xc.exc_density(ra, ra, s4, s4, s4)
-
-        def esum(rho, sigma):
-            return jnp.sum(edens_closed(rho, sigma))
-
-        exc_grad = jax.grad(esum, argnums=(0, 1))
+        deriv = 1 if (xc.is_gga or xc.is_mgga) else 0
+        core = self._get_rks_core_aod(mol, xc_code)
 
         def run(coords, weights, dm):
-            def block(carry, cw):
-                n_acc, e_acc, v_acc = carry
-                c, w = cw
-                if deriv == 0:
-                    ao = eval_ao(mol, c, deriv=0)        # (B, nao)
-                    dmao = ao @ dm
-                    rho = jnp.maximum(
-                        jnp.einsum('bi,bi->b', dmao, ao), 0.0)
-                    sigma = jnp.zeros_like(rho)
-                else:
-                    aod = eval_ao(mol, c, deriv=1)       # (4, B, nao)
-                    ao = aod[0]
-                    dmao = ao @ dm
-                    rho = jnp.maximum(
-                        jnp.einsum('bi,bi->b', dmao, ao), 0.0)
-                    grho = 2.0 * jnp.einsum('bi,dbi->db', dmao, aod[1:])
-                    sigma = jnp.einsum('db,db->b', grho, grho)
-                mask, rho_s, sigma_s = _masked(rho, sigma)
-                e_blk = jnp.sum(jnp.where(mask,
-                                          w * edens_closed(rho_s, sigma_s),
-                                          0.0))
-                vrho, vsigma = exc_grad(rho_s, sigma_s)
-                wv = jnp.where(mask, w * vrho, 0.0)
-                if deriv == 0:
-                    v_blk = jnp.einsum('b,bi,bj->ij', 0.5 * wv, ao, ao)
-                else:
-                    wvs = jnp.where(mask, w * vsigma, 0.0)
-                    vtmp = 0.5 * wv[:, None] * ao \
-                        + 2.0 * jnp.einsum('b,db,dbi->bi', wvs, grho, aod[1:])
-                    v_blk = ao.T @ vtmp
-                n_blk = jnp.sum(w * rho)
-                return (n_acc + n_blk, e_acc + e_blk, v_acc + v_blk), None
-
-            nao = mol.nao
-            init = (0.0, 0.0, jnp.zeros((nao, nao)))
-            (n, e, v), _ = jax.lax.scan(block, init, (coords, weights))
-            v = v + v.T
-            return n, e, v
+            def block(carry, c):
+                return carry, eval_ao(mol, c, deriv=deriv)
+            _, aod = jax.lax.scan(block, 0, coords)
+            return core(aod, weights, dm)
 
         self._cache[key] = run
         return run

@@ -16,6 +16,11 @@ class KohnShamDFT:
         self.grids = gen_grid.Grids(self.mol)
         self._numint = NumInt()
         self._exc = 0.0
+        # functionals with built-in nonlocal correlation (e.g. wB97X-V)
+        # switch VV10 on with their published parameters
+        nlc = getattr(xc_mod.parse_xc(xc), 'nlc', None)
+        if nlc is not None:
+            self.nlc, self.nlc_b, self.nlc_C = nlc
 
     @property
     def xc_obj(self):

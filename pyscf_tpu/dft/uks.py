@@ -118,6 +118,14 @@ class UKS(KohnShamDFT, UHF):
         if self.grids.coords is None:
             self.grids.build()
         n, exc, vxc = self._numint.nr_uks(mol, self.grids, self.xc, dm)
+        if getattr(self, 'nlc', ''):
+            from .vv10 import nr_vv10
+            # VV10 is evaluated on the total (spin-summed) density
+            e_nlc, v_nlc = nr_vv10(mol, self.grids, dm[0] + dm[1],
+                                   b=getattr(self, 'nlc_b', 5.9),
+                                   C=getattr(self, 'nlc_C', 0.0093))
+            exc = exc + e_nlc
+            vxc = vxc + v_nlc[None, :, :]
         omega, alpha, hyb = self._numint.rsh_and_hybrid_coeff(self.xc)
         if hyb == 0.0 and not omega:
             vj = self.get_jk(mol, dm, with_k=False)[0]

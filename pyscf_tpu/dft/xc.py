@@ -75,6 +75,14 @@ def _c_scan(ra, rb, saa, sab, sbb, ta, tb):
     return F.scan_c(ra, rb, saa, sab, sbb, ta, tb)
 
 
+def _x_r2scan(ra, rb, saa, sab, sbb, ta, tb):
+    return F.r2scan_x(ra, rb, saa, sbb, ta, tb)
+
+
+def _c_r2scan(ra, rb, saa, sab, sbb, ta, tb):
+    return F.r2scan_c(ra, rb, saa, sab, sbb, ta, tb)
+
+
 # name -> (family, fn)
 FUNCTIONALS = {
     'SLATER': (LDA, _x_slater),
@@ -98,6 +106,8 @@ FUNCTIONALS = {
     'TPSS_C': (MGGA, _c_tpss),
     'SCAN_X': (MGGA, _x_scan),
     'SCAN_C': (MGGA, _c_scan),
+    'R2SCAN_X': (MGGA, _x_r2scan),
+    'R2SCAN_C': (MGGA, _c_r2scan),
 }
 
 # compound aliases: (hyb, [(coeff, xname)], [(coeff, cname)])
@@ -120,6 +130,8 @@ COMPOUND = {
     'TPSS': (0.0, [(1.0, 'TPSS_X')], [(1.0, 'TPSS_C')]),
     'SCAN': (0.0, [(1.0, 'SCAN_X')], [(1.0, 'SCAN_C')]),
     'SCAN0': (0.25, [(0.75, 'SCAN_X')], [(1.0, 'SCAN_C')]),
+    'R2SCAN': (0.0, [(1.0, 'R2SCAN_X')], [(1.0, 'R2SCAN_C')]),
+    'R2SCAN0': (0.25, [(0.75, 'R2SCAN_X')], [(1.0, 'R2SCAN_C')]),
     'PW91,PW91': (0.0, [(1.0, 'PW91_X')], [(1.0, 'PW91_C')]),
     'XLYP': (0.0, [(-0.069, 'SLATER'), (0.722, 'B88'), (0.347, 'PW91_X')],
              [(1.0, 'LYP')]),
@@ -140,8 +152,14 @@ RSH_COMPOUND = {
 }
 
 
+def _wb97_term(omega, cx, css, cos_):
+    def fn(ra, rb, saa, sab, sbb):
+        return F.wb97_xc(ra, rb, saa, sab, sbb, omega, cx, css, cos_)
+    return fn
+
+
 class XCFunctional:
-    def __init__(self, hyb, terms, rsh=(0.0, 0.0, 0.0)):
+    def __init__(self, hyb, terms, rsh=(0.0, 0.0, 0.0), nlc=None):
         self.hyb = hyb               # HF exchange fraction (SR part for RSH)
         self.terms = terms           # [(coeff, family, fn)]
         self.family = max((f for _, f, _ in terms), default=LDA)
@@ -149,6 +167,8 @@ class XCFunctional:
         # convention (dft/libxc.py rsh_coeff): K = hyb*K + (alpha-hyb)*K_LR
         self.rsh = rsh
         self.omega = rsh[0]
+        # built-in nonlocal correlation: ('VV10', b, C) or None
+        self.nlc = nlc
 
     def exc_density(self, ra, rb, saa, sab, sbb, ta=None, tb=None):
         e = 0.0
@@ -198,6 +218,14 @@ def parse_xc(xc_code):
     if not isinstance(xc_code, str):
         raise TypeError(xc_code)
     code = xc_code.upper().replace(' ', '')
+    cname = code.replace('-', '_')      # compound-name lookups only
+    if cname in F.WB97_PARAMS:
+        omega, sr_hf, lr_hf, cx, css, cos_, nlc = F.WB97_PARAMS[cname]
+        terms = [(1.0, GGA, _wb97_term(omega, cx, css, cos_))]
+        return XCFunctional(sr_hf, terms, rsh=(omega, lr_hf, sr_hf),
+                            nlc=nlc)
+    if cname in RSH_COMPOUND:
+        code = cname
     if code in RSH_COMPOUND:
         omega, a, b, xbuild, cs = RSH_COMPOUND[code]
         terms = list(xbuild(omega, a, b))

@@ -25,6 +25,18 @@ def _rs(rho):
     return (3.0 / (4.0 * jnp.pi * jnp.maximum(rho, _TINY))) ** (1.0 / 3.0)
 
 
+def _safe_p(sig, n):
+    """Reduced gradient p = s^2 = sig / (4 (3 pi^2)^(2/3) n^(8/3)).
+
+    Evaluated in log space: the naive quotient's reverse-mode rule squares
+    the denominator (~n^(16/3)), which lands in the float32 subnormal range
+    at valid low-density grid points and is flushed to zero by XLA,
+    producing inf/NaN gradients in the fused SCF f32 pre-stage.  exp/log
+    keeps every intermediate normal (inputs are pre-clamped > 0)."""
+    c = 4.0 * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0)
+    return jnp.exp(jnp.log(sig) - (8.0 / 3.0) * jnp.log(n)) / c
+
+
 # ---------------------------------------------------------------------------
 # LDA exchange
 # ---------------------------------------------------------------------------
@@ -313,7 +325,7 @@ def _tpss_fx(n, sig, tau):
     sig = jnp.maximum(sig, _TINY)
     tau = jnp.maximum(tau, _TINY)
     kf2 = (3.0 * jnp.pi ** 2 * n) ** (2.0 / 3.0)
-    p = sig / (4.0 * kf2 * n * n)
+    p = _safe_p(sig, n)
     tau_w = sig / (8.0 * n)
     tau_u = 0.3 * kf2 * n
     z = jnp.clip(tau_w / tau, 0.0, 1.0)
@@ -354,10 +366,14 @@ def _pbe_eps(rho_a, rho_b, sigma):
 def _scan_falpha(alpha, c1, c2, d):
     """SCAN iso-orbital interpolation f(alpha): 1 at alpha=0, 0 at 1,
     -d*exp(c2/(1-alpha)) for alpha>1.  Written with clamped branches so
-    autodiff stays finite across the alpha=1 seam."""
-    am = jnp.clip(alpha, 0.0, 1.0 - 1e-9)
+    autodiff stays finite across the alpha=1 seam.  The clamp distance is
+    dtype-aware: a fixed 1e-9 rounds to exactly 1.0 in float32, making the
+    unselected where-branch inf and poisoning reverse-mode gradients (the
+    fused SCF f32 pre-stage runs this in single precision)."""
+    eps = 32.0 * jnp.finfo(jnp.result_type(alpha, 1.0)).eps
+    am = jnp.clip(alpha, 0.0, 1.0 - eps)
     f_lo = jnp.exp(-c1 * am / (1.0 - am))
-    ap = jnp.maximum(alpha, 1.0 + 1e-9)
+    ap = jnp.maximum(alpha, 1.0 + eps)
     f_hi = -d * jnp.exp(c2 / (1.0 - ap))
     return jnp.where(alpha < 1.0, f_lo, f_hi)
 
@@ -368,7 +384,7 @@ def _scan_fx_spin(n, sig, tau):
     sig = jnp.maximum(sig, _TINY)
     tau = jnp.maximum(tau, _TINY)
     kf2 = (3.0 * jnp.pi ** 2 * n) ** (2.0 / 3.0)
-    p = sig / (4.0 * kf2 * n * n)
+    p = _safe_p(sig, n)
     s = jnp.sqrt(p)
     tau_w = sig / (8.0 * n)
     tau_u = 0.3 * kf2 * n
@@ -407,7 +423,7 @@ def scan_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
     zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-12, 1 - 1e-12)
     rs = _rs(rho)
     kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
-    s = jnp.sqrt(sigma) / (2.0 * kf * rho)
+    p = _safe_p(sigma, rho)
     tau_w = sigma / (8.0 * rho)
     ds = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
     tau_u = 0.3 * kf * kf * rho * ds
@@ -418,7 +434,7 @@ def scan_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
     eps_lsda = pw92_eps(rho_a, rho_b)
     gamma = 0.031090690869654895
     w1 = jnp.exp(-eps_lsda / (gamma * phi ** 3)) - 1.0
-    t2 = (3.0 * jnp.pi ** 2 / 16.0) ** (2.0 / 3.0) * s * s / (
+    t2 = (3.0 * jnp.pi ** 2 / 16.0) ** (2.0 / 3.0) * p / (
         phi * phi * rs)
     beta = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
     y = beta / (gamma * jnp.maximum(w1, _TINY)) * t2
@@ -431,7 +447,7 @@ def scan_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
     eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
     w0 = jnp.exp(-eps_lda0 / b1c) - 1.0
     chi_inf = 0.12802585262625815
-    g_inf = (1.0 + 4.0 * chi_inf * s * s) ** (-0.25)
+    g_inf = (1.0 + 4.0 * chi_inf * p) ** (-0.25)
     h0 = b1c * jnp.log(1.0 + w0 * (1.0 - g_inf))
     dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
     gc_z = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta ** 12)
@@ -471,3 +487,200 @@ def tpss_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
         - (1.0 + Cz) * z2 * (ra / rho * eps_a + rb / rho * eps_b)
     d = 2.8
     return rho * eps_rev * (1.0 + d * eps_rev * z2 * z)
+
+
+# ---------------------------------------------------------------------------
+# r2SCAN meta-GGA (Furness, Kaplan, Ning, Perdew, Sun, JPCL 11, 8208 (2020)
+# + erratum JPCL 11, 9248).  Replaces SCAN's twisted iso-orbital indicator
+# interpolation with a smooth polynomial on alpha-bar in [0, 2.5] and
+# restores the 2nd-order gradient expansion with damped correction terms.
+# Reference analog: external libxc (pyscf/dft/libxc.py); implemented here
+# from the published equations.
+# ---------------------------------------------------------------------------
+
+_R2_ETA = 0.001
+_R2_CETA = 20.0 / 27.0 + _R2_ETA * 5.0 / 3.0
+_R2_DP2 = 0.361
+_R2_K0 = 0.174
+_R2_K1 = 0.065
+_R2_CFX = (1.0, -0.667, -0.4445555, -0.663086601049, 1.451297044490,
+           -0.887998041597, 0.234528941479, -0.023185843322)
+_R2_CFC = (1.0, -0.64, -0.4352, -1.535685604549, 3.061560252175,
+           -1.915710236206, 0.516884468372, -0.051848879792)
+# f'(1) of the interpolation polynomials (used in the GE2-restoring terms)
+_R2_DFX2 = sum(i * c for i, c in enumerate(_R2_CFX))    # -0.93530021...
+_R2_DFC2 = sum(i * c for i, c in enumerate(_R2_CFC))    # -0.71140226...
+
+
+def _r2_interp(alpha, coeffs, c2, d):
+    """r2SCAN interpolation f(abar): degree-7 polynomial on [0, 2.5],
+    -d*exp(c2/(1-abar)) beyond."""
+    a = jnp.clip(alpha, 0.0, 2.5)
+    poly = 0.0
+    for c in reversed(coeffs):
+        poly = poly * a + c
+    ap = jnp.maximum(alpha, 2.5 + 1e-9)
+    f_hi = -d * jnp.exp(c2 / (1.0 - ap))
+    return jnp.where(alpha <= 2.5, poly, f_hi)
+
+
+def _r2scan_fx_spin(n, sig, tau):
+    """r2SCAN exchange enhancement for one spin-scaled density n (=2 rho)."""
+    n = jnp.maximum(n, _TINY)
+    sig = jnp.maximum(sig, _TINY)
+    tau = jnp.maximum(tau, _TINY)
+    kf2 = (3.0 * jnp.pi ** 2 * n) ** (2.0 / 3.0)
+    p = _safe_p(sig, n)
+    tau_w = sig / (8.0 * n)
+    tau_u = 0.3 * kf2 * n
+    abar = jnp.maximum((tau - tau_w) / (tau_u + _R2_ETA * tau_w), 0.0)
+
+    mu = 10.0 / 81.0
+    damp = jnp.exp(-p * p / _R2_DP2 ** 4)
+    # C2x = fx'(1)*k0 cancels the spurious GE2 term of the interpolation
+    c2x = _R2_DFX2 * _R2_K0
+    x = (_R2_CETA * c2x * damp + mu) * p
+    h1x = 1.0 + _R2_K1 - _R2_K1 / (1.0 + x / _R2_K1)
+    h0x = 1.0 + _R2_K0
+    fx = _r2_interp(abar, _R2_CFX, 0.8, 1.24)
+    a1 = 4.9479
+    gx = 1.0 - jnp.exp(-a1 / jnp.maximum(p, 1e-24) ** 0.25)
+    return (h1x + fx * (h0x - h1x)) * gx
+
+
+def r2scan_x(rho_a, rho_b, sigma_aa, sigma_bb, tau_a, tau_b):
+    e = 0.0
+    for r, s, t in ((rho_a, sigma_aa, tau_a), (rho_b, sigma_bb, tau_b)):
+        n = jnp.maximum(2.0 * r, _TINY)
+        fx = _r2scan_fx_spin(n, 4.0 * s, 2.0 * t)
+        e = e + 0.5 * _CX * n ** (4.0 / 3.0) * fx
+    return e
+
+
+def r2scan_c(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb, tau_a, tau_b):
+    import jax
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    sigma = jnp.maximum(sigma_aa + 2.0 * sigma_ab + sigma_bb, _TINY)
+    tau = jnp.maximum(tau_a + tau_b, _TINY)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-12, 1 - 1e-12)
+    rs = _rs(rho)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    p = _safe_p(sigma, rho)
+    tau_w = sigma / (8.0 * rho)
+    ds = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    tau_u = 0.3 * kf * kf * rho * ds
+    abar = jnp.maximum((tau - tau_w) / (tau_u + _R2_ETA * tau_w), 0.0)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    phi3 = phi ** 3
+
+    gamma = 0.031090690869654895
+    eps_lsda = pw92_eps(rho_a, rho_b)
+    # d eps_lsda / d rs at fixed zeta:  n_sigma  prop. rs^-3
+    _, deps_lsda_drs = jax.jvp(pw92_eps, (rho_a, rho_b),
+                               (-3.0 * rho_a / rs, -3.0 * rho_b / rs))
+    w1 = jnp.exp(-eps_lsda / (gamma * phi3)) - 1.0
+    t2 = (3.0 * jnp.pi ** 2 / 16.0) ** (2.0 / 3.0) * p / (phi * phi * rs)
+    beta = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    y = beta / (gamma * jnp.maximum(w1, _TINY)) * t2
+
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    sq_rs = jnp.sqrt(rs)
+    eps_lda0 = -b1c / (1.0 + b2c * sq_rs + b3c * rs)
+    deps_lda0_drs = b1c * (0.5 * b2c / sq_rs + b3c) / (
+        1.0 + b2c * sq_rs + b3c * rs) ** 2
+    w0 = jnp.exp(-eps_lda0 / b1c) - 1.0
+    chi_inf = 0.12802585262625815
+    g_inf = (1.0 + 4.0 * chi_inf * p) ** (-0.25)
+    h0 = b1c * jnp.log(1.0 + w0 * (1.0 - g_inf))
+    dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gc_z = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta ** 12)
+    eps_c0 = (eps_lda0 + h0) * gc_z
+
+    # damped GE2-restoring shift of y (erratum form); Delta-eps is the
+    # alpha-interpolation span at p=0 whose spurious 2nd-order term the
+    # shift cancels at the integrated (by-parts) level
+    damp = jnp.exp(-p * p / _R2_DP2 ** 4)
+    dcdel = gc_z * eps_lda0 - eps_lsda
+    ddcdel_drs = gc_z * deps_lda0_drs - deps_lsda_drs
+    dy = (_R2_DFC2 / (27.0 * gamma * ds * phi3 * jnp.maximum(w1, _TINY))
+          * (20.0 * rs * ddcdel_drs - 45.0 * _R2_ETA * dcdel) * p * damp)
+    # the shifted argument can cross zero in low-density/tiny-w1 corners
+    # (worse in the f32 SCF pre-stage) -- clamp so the fractional power
+    # and its gradient stay finite; physically g_y in (0, 1]
+    gy = jnp.maximum(1.0 + 4.0 * (y - dy), 1e-12) ** (-0.25)
+    h1 = gamma * phi3 * jnp.log(1.0 + w1 * (1.0 - gy))
+    eps_c1 = eps_lsda + h1
+
+    fc = _r2_interp(abar, _R2_CFC, 1.5, 0.7)
+    eps = eps_c1 + fc * (eps_c0 - eps_c1)
+    return rho * eps
+
+
+# ---------------------------------------------------------------------------
+# B97-type power-series functionals with range separation: the omega-B97
+# family (Chai & Head-Gordon, JCP 128, 084106 (2008); omega-B97X-V:
+# Mardirossian & Head-Gordon, PCCP 16, 9904 (2014)).
+# Reference analog: external libxc HYB_GGA_XC_WB97* (pyscf/dft/libxc.py).
+#
+# Exchange: per-spin short-range LDA exchange (erfc attenuation factor
+# F(a), a = omega/(2 kF_sigma), kF_sigma = (6 pi^2 n_sigma)^(1/3))
+# times a power series g(u) = sum_i c_i u^i, u = gamma s^2/(1+gamma s^2),
+# s^2 = sigma_ss / n_sigma^(8/3).
+# Correlation: Stoll same/opposite-spin partition of PW92, each times its
+# own power series in the corresponding u variable.
+# ---------------------------------------------------------------------------
+
+def _b97_u(s2, gamma):
+    gs = gamma * s2
+    return gs / (1.0 + gs)
+
+
+def _b97_series(u, coeffs):
+    acc = 0.0
+    for c in reversed(coeffs):
+        acc = acc * u + c
+    return acc
+
+
+def wb97_xc(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb,
+            omega, cx, css, cos_):
+    """omega-B97-family semilocal part: SR-GGA x + B97 c (full range).
+
+    cx/css/cos_ are the power-series coefficient tuples for SR exchange,
+    same-spin and opposite-spin correlation."""
+    gam_x, gam_ss, gam_os = 0.004, 0.2, 0.006
+    e = 0.0
+    s2s = []
+    for r, s in ((rho_a, sigma_aa), (rho_b, sigma_bb)):
+        r_ = jnp.maximum(r, _TINY)
+        s_ = jnp.maximum(s, 0.0)
+        s2 = s_ / r_ ** (8.0 / 3.0)
+        s2s.append(s2)
+        # SR-LDA exchange for this spin: erfc-attenuated Slater
+        e_lda = -1.5 * (3.0 / (4.0 * jnp.pi)) ** (1.0 / 3.0) * r_ ** (4.0 / 3.0)
+        kf = (6.0 * jnp.pi ** 2 * r_) ** (1.0 / 3.0)
+        Fa = _sr_attenuation(omega / (2.0 * kf))
+        gx = _b97_series(_b97_u(s2, gam_x), cx)
+        e = e + e_lda * Fa * gx
+    # Stoll partition of PW92 correlation
+    z = jnp.zeros_like(rho_a) + _TINY
+    ec_ab = (rho_a + rho_b) * pw92_eps(rho_a, rho_b)
+    ec_aa = rho_a * pw92_eps(rho_a, z)
+    ec_bb = rho_b * pw92_eps(z, rho_b)
+    g_ss_a = _b97_series(_b97_u(s2s[0], gam_ss), css)
+    g_ss_b = _b97_series(_b97_u(s2s[1], gam_ss), css)
+    u_os = _b97_u(0.5 * (s2s[0] + s2s[1]), gam_os)
+    g_os = _b97_series(u_os, cos_)
+    e = e + ec_aa * g_ss_a + ec_bb * g_ss_b + (ec_ab - ec_aa - ec_bb) * g_os
+    return e
+
+
+# published parameter sets: name -> (omega, SR_HF, LR_HF, cx, css, cos, nlc)
+WB97_PARAMS = {
+    # Mardirossian & Head-Gordon PCCP 16, 9904 (2014), Table 3
+    'WB97X_V': (0.3, 0.167, 1.0,
+                (0.833, 0.603),
+                (0.556, -0.257),
+                (1.219, -1.850),
+                ('VV10', 6.0, 0.01)),
+}

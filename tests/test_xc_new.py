@@ -1,0 +1,114 @@
+"""r2SCAN + wB97X-V functional validation.
+
+No libxc oracle exists in this environment, so r2SCAN is validated
+against the exact constraints it was *constructed* to satisfy (Furness
+et al., JPCL 11, 8208 (2020)): the uniform-electron-gas limit, the
+2nd-order gradient expansion for exchange (pointwise, by construction of
+the h1x damping term), and the restored 2nd-order gradient expansion for
+correlation at the integrated level (the Delta-y term; without it the
+test ratio converges to ~1.105, so the check has discriminating power).
+"""
+import numpy as np
+import pytest
+
+import pyscf_tpu as pt
+from pyscf_tpu.dft import xc_funcs as F
+from pyscf_tpu.dft import xc as xc_mod
+
+import jax.numpy as jnp
+
+
+def test_r2scan_ueg_limits():
+    n0 = 0.3
+    tau_u = 0.3 * (3 * np.pi ** 2 * n0) ** (2 / 3) * n0
+    ex = F.r2scan_x(n0 / 2, n0 / 2, 1e-30, 1e-30, tau_u / 2, tau_u / 2)
+    ex_lda = F.lda_x(n0 / 2, n0 / 2)
+    assert abs(float(ex / ex_lda) - 1.0) < 1e-8
+    ec = F.r2scan_c(n0 / 2, n0 / 2, 0., 0., 0., tau_u / 2, tau_u / 2)
+    ec_pw = n0 * F.pw92_eps(n0 / 2, n0 / 2)
+    assert abs(float(ec - ec_pw)) < 1e-8
+
+
+def test_r2scan_x_ge2_slope():
+    """(Fx-1)/p -> mu_AK = 10/81 along the slowly-varying relation
+    abar = 1 - C_eta p."""
+    n = 0.3
+    ceta = 20 / 27 + 0.001 * 5 / 3
+    for pval in (1e-4, 1e-5):
+        kf2 = (3 * np.pi ** 2 * n) ** (2 / 3)
+        sig = pval * 4 * kf2 * n * n
+        tw, tu = sig / (8 * n), 0.3 * kf2 * n
+        tau = (1 - ceta * pval) * (tu + 0.001 * tw) + tw
+        fx = float(F._r2scan_fx_spin(n, sig, tau))
+        assert abs((fx - 1) / pval - 10 / 81) < 1e-3
+
+
+def test_r2scan_c_ge2_integrated():
+    """Correlation gradient correction integrates to the exact GE2
+    coefficient beta(rs) phi^3 t^2 as q -> 0 (Delta-y restores it)."""
+    n0 = 0.3
+
+    def ratio(q, eps_m=0.05):
+        z = np.linspace(0, 2 * np.pi / q, 2001)
+        n = n0 * (1 + eps_m * np.cos(q * z))
+        dn = -n0 * eps_m * q * np.sin(q * z)
+        d2n = -n0 * eps_m * q * q * np.cos(q * z)
+        sig = dn * dn
+        tauU = 0.3 * (3 * np.pi ** 2 * n) ** (2 / 3) * n
+        tau = tauU + sig / (72 * n) + d2n / 6       # GE2 kinetic density
+        ec = np.asarray(F.r2scan_c(
+            jnp.asarray(n / 2), jnp.asarray(n / 2), jnp.asarray(sig / 4),
+            jnp.asarray(sig / 4), jnp.asarray(sig / 4),
+            jnp.asarray(tau / 2), jnp.asarray(tau / 2)))
+        ec_lsda = n * np.asarray(F.pw92_eps(jnp.asarray(n / 2),
+                                            jnp.asarray(n / 2)))
+        rs = (3 / (4 * np.pi * n)) ** (1 / 3)
+        kf = (3 * np.pi ** 2 * n) ** (1 / 3)
+        t2 = (3 * np.pi ** 2 / 16) ** (2 / 3) * sig / (2 * kf * n) ** 2 / rs
+        beta = 0.066725 * (1 + 0.1 * rs) / (1 + 0.1778 * rs)
+        num = np.trapz(ec - ec_lsda, z)
+        den = np.trapz(n * beta * t2, z)
+        return num / den
+
+    r1, r2 = ratio(0.3), ratio(0.15)
+    assert abs(r1 - 1) < 0.02
+    assert abs(r2 - 1) < 0.005            # O(q^2) convergence to exactly 1
+
+
+def test_r2scan_equals_scan_single_orbital():
+    """For one-orbital densities (abar = 0), r2SCAN == SCAN by
+    construction (both reduce to h0x*gx and eps_c0)."""
+    mol = pt.M(atom='He 0 0 0', basis='cc-pvdz', verbose=0)
+    e1 = pt.dft.RKS(mol, xc='scan').kernel()
+    e2 = pt.dft.RKS(mol, xc='r2scan').kernel()
+    assert abs(e1 - e2) < 1e-6
+
+
+def test_mgga_f32_prestage_finite():
+    """The fused mixed-precision driver must converge mGGAs (regression:
+    subnormal-flush inf in the f32 reduced-gradient backward pass)."""
+    mol = pt.M(atom='He 0 0 0', basis='cc-pvdz', verbose=0)
+    mf = pt.dft.RKS(mol, xc='r2scan')
+    e = mf.kernel()
+    assert mf.converged and np.isfinite(e)
+    assert -2.92 < e < -2.85
+
+
+def test_wb97xv_parse():
+    fn = xc_mod.parse_xc('wb97x-v')
+    assert fn.rsh == (0.3, 1.0, 0.167)
+    assert fn.nlc == ('VV10', 6.0, 0.01)
+    # SR attenuation limits
+    assert abs(float(F._sr_attenuation(jnp.asarray(1e-8))) - 1.0) < 1e-6
+    assert float(F._sr_attenuation(jnp.asarray(40.0))) < 1e-3
+
+
+@pytest.mark.slow
+def test_wb97xv_he():
+    mol = pt.M(atom='He 0 0 0', basis='cc-pvdz', verbose=0)
+    mf = pt.dft.RKS(mol, xc='wb97x-v')
+    e = mf.kernel()
+    assert mf.converged
+    assert mf.nlc == 'VV10' and mf.nlc_b == 6.0
+    # self-golden (locked at first implementation)
+    assert abs(e - (-2.87392355)) < 1e-6
