@@ -233,6 +233,9 @@ class SCF:
         if key == 'mod_huckel':
             from . import init_guess
             return jnp.asarray(init_guess.init_guess_by_mod_huckel(mol))
+        if key == 'sap':
+            from . import init_guess
+            return jnp.asarray(init_guess.init_guess_by_sap(mol))
         if key == 'chkfile' or key == 'chk':
             return self.init_guess_by_chkfile()
         raise NotImplementedError(f'init_guess {key}')

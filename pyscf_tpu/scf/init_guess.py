@@ -141,3 +141,64 @@ def init_guess_by_mod_huckel(mol):
     """Hückel guess with the updated GWH rule (reference scf/hf.py:554)."""
     e, c = _huckel_orbitals(mol, updated_rule=True)
     return jnp.asarray(_aufbau_rdm1(mol, e, c))
+
+
+def _sap_basis(symb):
+    import gzip
+    import json
+    import os
+    global _SAP_TABLE
+    try:
+        tab = _SAP_TABLE
+    except NameError:
+        path = os.path.join(os.path.dirname(__file__), '..', 'gto',
+                            'basis_data', 'sapgrasplarge.json.gz')
+        tab = _SAP_TABLE = json.load(gzip.open(path, 'rt'))
+    return tab[symb]
+
+
+def init_guess_by_sap(mol):
+    """Superposition of atomic potentials guess (Lehtola, JCTC 15, 1593
+    (2019); Gaussian-fit potentials of doi:10.1063/5.0004046).
+
+    Reference analog: scf/hf.py:744 init_guess_by_sap + make_sap:807,
+    which route V_sap through libcint int3c2e against fake unit-charge
+    shells.  Here each fitted Gaussian charge has the closed-form
+    potential erf(sqrt(a) r)/r, so V_sap is evaluated on the standard
+    Becke grid and contracted with AO values — pure batched matmuls.
+    """
+    import jax
+    from ..dft import gen_grid
+    from ..ops.eval_gto import eval_gto
+
+    grids = gen_grid.Grids(mol).build()
+    coords = jnp.asarray(grids.coords)
+    weights = jnp.asarray(grids.weights)
+    v = jnp.zeros(coords.shape[0])
+    centers = np.asarray(mol.coords)
+    for A, symb in enumerate(mol.raw_symbols):
+        exps, cs = [], []
+        for shell in _sap_basis(symb):
+            for e_c in shell[1:]:
+                exps.append(e_c[0])
+                cs.append(e_c[1])
+        exps = jnp.asarray(exps)
+        cs = jnp.asarray(cs)
+        r = jnp.linalg.norm(coords - jnp.asarray(centers[A])[None, :],
+                            axis=1)
+        r = jnp.maximum(r, 1e-12)
+        # potential of a unit gaussian charge: erf(sqrt(a) r)/r
+        pot = jax.scipy.special.erf(
+            jnp.sqrt(exps)[None, :] * r[:, None]) / r[:, None]
+        v = v + pot @ cs          # coefficients sum to -Z: attractive
+    ao = jnp.asarray(eval_gto(mol, 'GTOval_sph', np.asarray(coords)))
+    vsap = jnp.einsum('gi,g,gj->ij', ao, weights * v, ao)
+
+    from ..lib.linalg import canonical_orth
+    h = jnp.asarray(mol.intor('int1e_kin')) + jnp.asarray(
+        mol.intor('int1e_nuc')) + vsap
+    s = jnp.asarray(mol.intor('int1e_ovlp'))
+    x = canonical_orth(np.asarray(s))
+    e, cp = jnp.linalg.eigh(x.T @ h @ x)
+    c = np.asarray(x @ cp)
+    return jnp.asarray(_aufbau_rdm1(mol, np.asarray(e), c))

@@ -20,7 +20,8 @@ def test_atom_sph_rhf():
     assert mo_e[0] < -19.0                 # 1s well below valence
 
 
-@pytest.mark.parametrize('key', ['minao', 'atom', 'huckel', 'mod_huckel'])
+@pytest.mark.parametrize('key', ['minao', 'atom', 'huckel', 'mod_huckel',
+                                 'sap'])
 def test_init_guess_converges(key):
     mol = _h2o()
     mf = mol.RHF()
