@@ -326,3 +326,12 @@ class CCSD:
 
 
 RCCSD = CCSD
+
+
+def _ccsd_gradients(self):
+    from ..grad.ccsd import Gradients as _G
+    return _G(self)
+
+
+CCSD.Gradients = _ccsd_gradients
+CCSD.nuc_grad_method = _ccsd_gradients

@@ -134,3 +134,12 @@ class MP2:
 
 
 RMP2 = MP2
+
+
+def _mp2_gradients(self):
+    from ..grad.mp2 import Gradients as _G
+    return _G(self)
+
+
+MP2.Gradients = _mp2_gradients
+MP2.nuc_grad_method = _mp2_gradients
