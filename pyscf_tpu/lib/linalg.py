@@ -42,6 +42,10 @@ def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
     x0 = np.asarray(x0)
     if x0.ndim == 1:
         x0 = x0[None]
+    # the subspace must fit the retained Ritz set PLUS new correction
+    # vectors, or the restart below fires every iteration and the solver
+    # spins on a frozen subspace (seen as conv=False with many roots)
+    max_space = max(max_space, 3 * (neig + 2))
     n = x0.shape[1]
     V = []      # orthonormal basis (numpy host copies)
     AV = []

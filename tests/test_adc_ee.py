@@ -1,9 +1,8 @@
 """EE-ADC(2) tests.
 
 The ADC(1) limit is exact against CIS (dense comparison). The full
-ADC(2) spectrum is compared to the reference H2O/cc-pVDZ goldens
-(adc/test/test_radc/test_ee_H2O.py) at the documented ~6 mHa tolerance
-(see pyscf_tpu/adc/radc_ee.py docstring).
+ADC(2) spectrum reproduces the reference H2O/cc-pVDZ goldens
+(adc/test/test_radc/test_ee_H2O.py) to ~1e-8.
 """
 import math
 
@@ -50,4 +49,4 @@ def test_adc2_h2o_goldens():
     adc = ADC2EE(mf)
     es = np.sort(adc.kernel(nroots=12))
     for ref in (0.2971167095, 0.3724791374, 0.3935563988):
-        assert np.abs(es - ref).min() < 6e-3
+        assert np.abs(es - ref).min() < 1e-6
