@@ -13,19 +13,23 @@ conventions:
 - g_J[p,q] = sum_Ax mode[Ax,J]/sqrt(2 m_A w_J) vfull_Ax[p,q], modes
   sorted by descending frequency (reference eph/rhf.py solve_hmat:64).
 
-The frequency spectrum reproduces the reference H2O/STO-3G fingerprint
-golden (eph/test/test_rhf.py) to 1e-6. Known deviation: the coupling
-matrices differ from the reference's eph_fd values (fp |g| -0.149 ref vs
-this convention) -- the reference's ve-correction mixes electron- and
-center-derivative integral conventions that do not map one-to-one onto
-this codebase's center-derivative set; elementwise parity via the
-analytic CPHF route (reference eph/rhf.py get_eph) is the follow-up.
+Masses follow the reference's eph convention: main-isotope integer mass
+numbers x the proton/electron ratio (solve_hmat, eph/rhf.py:55).
+
+Validated against the reference H2O/STO-3G goldens
+(eph/test/test_rhf.py:48-50): frequency fingerprint to 1e-9 and the
+|g| coupling fingerprint to 7e-7 (in pyscf AO ordering; this codebase
+stores p shells as m=-1,0,+1 = y,z,x). This codebase's ip integrals are
+CENTER derivatives (int1e_deriv.py) -- the negative of libcint's
+electron-coordinate nabla -- so the Pulay rows are *subtracted* here
+where the reference subtracts its (negated) ve; both remove the same
+basis-movement term (FD-oracle-pinned: d<u|v>/dR_A = +ipovlp rows).
 """
 import numpy as np
 
-from ..data.elements import MASSES
+from ..data.elements import ISOTOPE_MAIN
 from ..hessian import harmonic_analysis, hessian_fd
-from ..lib.parameters import AMU2AU
+from ..lib.parameters import MP_ME
 
 
 def _potential_mat(mf_conv, mol):
@@ -67,6 +71,11 @@ class EPH:
                 return mf2
         self.mf_factory = mf_factory
 
+    def _masses(self):
+        """Main-isotope integer mass numbers x proton/electron ratio (the
+        reference's atom_mass_list() * MP_ME, eph/rhf.py solve_hmat)."""
+        return np.array([ISOTOPE_MAIN[z] for z in self.mol.charges]) * MP_ME
+
     def get_modes(self, hess=None):
         mol = self.mol
         if hess is None:
@@ -74,7 +83,7 @@ class EPH:
                 mf2 = self.mf_factory(m)
                 return np.asarray(mf2.nuc_grad_method().kernel())
             hess = hessian_fd(gfac, mol)
-        res = harmonic_analysis(mol, hess)
+        res = harmonic_analysis(mol, hess, masses=self._masses())
         freq = res['freq_au']
         modes = res['norm_mode']              # mass-weighted eigenvectors
         keep = np.abs(res['freq_wavenumber']) > self.cutoff_frequency
@@ -103,6 +112,13 @@ class EPH:
                     mf2 = self.mf_factory(m2)
                     vs.append(_potential_mat(mf2, m2))
                 vfull = (vs[0] - vs[1]) / (2.0 * step)
+                # remove the basis-movement (Pulay) rows/cols: this
+                # codebase's ip integrals are CENTER derivatives
+                # (<du/dA|V|v>, int1e_deriv.py docstring), verified by
+                # FD oracle d<u|v>/dR_A = +ipovlp rows, so the part to
+                # subtract is + the raw ip rows (the reference subtracts
+                # its ve = -(electron-nabla rows) = the same quantity,
+                # eph/eph_fd.py:75-90)
                 vfull[mask] -= ve[x][mask]
                 vfull[:, mask] -= ve[x][mask].T
                 out.append(vfull)
@@ -113,7 +129,7 @@ class EPH:
         mol = self.mol
         mf = self._scf
         freq, modes = self.get_modes(hess)
-        masses = np.array([MASSES[z] for z in mol.charges]) * AMU2AU
+        masses = self._masses()
         vmat = self.get_vmat(step)
         # freq-mass-weighted polarization: mode[Ax,J]/sqrt(2 m_A |w_J|)
         invw = 1.0 / np.sqrt(np.repeat(masses, 3))

@@ -37,10 +37,14 @@ def hessian_fd(grad_factory, mol, step=1e-3):
     return h
 
 
-def harmonic_analysis(mol, hess):
-    """Frequencies (cm^-1) and normal modes from a Cartesian Hessian."""
+def harmonic_analysis(mol, hess, masses=None):
+    """Frequencies (cm^-1) and normal modes from a Cartesian Hessian.
+
+    masses: optional per-atom masses in electron-mass units (default:
+    standard atomic weights, the reference thermo convention)."""
     natm = mol.natm
-    masses = np.array([MASSES[z] for z in mol.charges]) * AMU2AU
+    if masses is None:
+        masses = np.array([MASSES[z] for z in mol.charges]) * AMU2AU
     invsqrt = 1.0 / np.sqrt(np.repeat(masses, 3))
     H = hess.reshape(natm * 3, natm * 3)
     Hmw = H * invsqrt[:, None] * invsqrt[None, :]

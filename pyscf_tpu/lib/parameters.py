@@ -13,7 +13,8 @@ AMU2AU = 1822.888486209
 BOLTZMANN_AU = 3.166811563e-6          # Hartree / K
 LIGHT_SPEED = 137.03599967994          # atomic units
 DEBYE = 2.541746473            # a.u. (e*Bohr) -> Debye
-NUC_MAGNETON = 1 / (2 * 1836.15267343)
+MP_ME = 1836.15267343          # proton/electron mass ratio
+NUC_MAGNETON = 1 / (2 * MP_ME)
 
 MAX_MEMORY = 4000              # MB, default working-memory budget
 ANGULAR = 'spdfghik'
