@@ -49,10 +49,21 @@ def _pad_grid(coords, weights, blk=None, nao=None):
     return coords.reshape(nblk, blk, 3), weights.reshape(nblk, blk)
 
 
+def _floors(dtype):
+    """(rho_thr, sigma_floor) for the working dtype: the f64 values are
+    subnormal-adjacent in f32 (1e-20 flushes to zero; its reverse-mode
+    1/sigma then hits inf), which NaN'd the fused-SCF f32 pre-stage for
+    every GGA."""
+    if dtype == jnp.float32:
+        return 1e-6, 1e-12
+    return RHO_THR, SIGMA_FLOOR
+
+
 def _masked(rho, sigma):
-    mask = rho > RHO_THR
-    rho_s = jnp.where(mask, jnp.maximum(rho, RHO_THR), 1.0)
-    sigma_s = jnp.where(mask, jnp.maximum(sigma, SIGMA_FLOOR), 1.0)
+    rho_thr, sig_floor = _floors(rho.dtype)
+    mask = rho > rho_thr
+    rho_s = jnp.where(mask, jnp.maximum(rho, rho_thr), 1.0)
+    sigma_s = jnp.where(mask, jnp.maximum(sigma, sig_floor), 1.0)
     return mask, rho_s, sigma_s
 
 
@@ -251,14 +262,16 @@ class NumInt:
                 saa = jnp.einsum('db,db->b', grhos[0], grhos[0])
                 sab = jnp.einsum('db,db->b', grhos[0], grhos[1])
                 sbb = jnp.einsum('db,db->b', grhos[1], grhos[1])
-                mask = (ra + rb) > RHO_THR
+                rho_thr, sig_floor = _floors(ra.dtype)
+                tau_floor = 1e-12 if ra.dtype == jnp.float32 else 1e-20
+                mask = (ra + rb) > rho_thr
                 sf = lambda x, lo: jnp.where(mask, jnp.maximum(x, lo), 1.0)
-                ras, rbs = sf(ra, 0.5 * RHO_THR), sf(rb, 0.5 * RHO_THR)
-                saas = sf(saa, SIGMA_FLOOR)
+                ras, rbs = sf(ra, 0.5 * rho_thr), sf(rb, 0.5 * rho_thr)
+                saas = sf(saa, sig_floor)
                 sabs = sf(sab, -jnp.inf)
-                sbbs = sf(sbb, SIGMA_FLOOR)
-                tas = sf(taus[0], 1e-20)
-                tbs = sf(taus[1], 1e-20)
+                sbbs = sf(sbb, sig_floor)
+                tas = sf(taus[0], tau_floor)
+                tbs = sf(taus[1], tau_floor)
                 e_blk = jnp.sum(jnp.where(
                     mask, w * edens(ras, rbs, saas, sabs, sbbs, tas, tbs),
                     0.0))

@@ -169,8 +169,13 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
                     jnp.maximum(conv_tol, _F32_DE).astype(f32),
                     jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
                     jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
-            co0 = co32.astype(h1e.dtype)
-            cyc0 = cyc32
+            # universal backstop: if the f32 stage blew up (XC underflow,
+            # functional-specific NaN edge), discard it and let the f64
+            # stage start from the untouched guess — mixed precision must
+            # never change what converges, only how fast
+            ok32 = jnp.all(jnp.isfinite(co32))
+            co0 = jnp.where(ok32, co32.astype(h1e.dtype), co0)
+            cyc0 = jnp.where(ok32, cyc32, cyc0)
 
         cyc, done, _, _, f_last, _, _ = stage(
             veff_data, h1e, s1e, x, co0, conv_tol, conv_tol_grad,
@@ -291,9 +296,12 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
                     jnp.maximum(conv_tol, _F32_DE).astype(f32),
                     jnp.maximum(conv_tol_grad, _F32_GNORM).astype(f32),
                     jnp.minimum(max_cycle, _F32_MAX_CYCLE), cyc0)
-            coa0 = coa32.astype(h1e.dtype)
-            cob0 = cob32.astype(h1e.dtype)
-            cyc0 = cyc32
+            # same non-finite backstop as the restricted program
+            ok32 = jnp.all(jnp.isfinite(coa32)) & \
+                jnp.all(jnp.isfinite(cob32))
+            coa0 = jnp.where(ok32, coa32.astype(h1e.dtype), coa0)
+            cob0 = jnp.where(ok32, cob32.astype(h1e.dtype), cob0)
+            cyc0 = jnp.where(ok32, cyc32, cyc0)
 
         cyc, done, _, coa, cob, _, _ = stage(
             veff_data, h1e, s1e, x, coa0, cob0, conv_tol, conv_tol_grad,
