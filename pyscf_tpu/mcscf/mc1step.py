@@ -1,15 +1,18 @@
 """CASSCF orbital optimization (analog of reference pyscf/mcscf/mc1step.py:
-CASSCF:596, kernel:333).
+CASSCF:596, kernel:333, rotate_orb_cc:204).
 
 Two-step macro-iteration: FCI solve in the active space, then orbital
-relaxation by L-BFGS on the frozen-CI energy surface E(kappa) with the
-exact generalized-Fock gradient (the reference's CIAH micro-iteration is
-replaced by quasi-Newton on the same surface; dense XLA tensor algebra).
+relaxation on the frozen-CI energy surface E(kappa) by the device-
+resident augmented-Hessian Newton solver (soscf._ah_davidson): E(kappa)
+is a pure JAX function (orbitals rotated by expm(kappa), MO integrals by
+dense einsum on device), the gradient is jax.grad and the exact Hessian
+action is jax.jvp of it -- replacing the reference's hand-coded CIAH
+gen_g_hop (mc1step.py:42) with autodiff of the same surface.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import scipy.linalg
-import scipy.optimize
 
 from ..fci import direct_spin1
 from .casci import CASCI
@@ -61,15 +64,69 @@ class CASSCF(CASCI):
         g = 2.0 * (F - F.T)
         return e_tot, g
 
+    def _e_fixed_ci_fn(self, nmo, iu):
+        """Jitted E(kappa; mo0, rdms) on the frozen-CI surface.
+
+        All tensor work (MO transform, generalized Fock contraction) is
+        dense einsum on device; kappa enters through expm so jax.grad /
+        jax.jvp give the exact CIAH gradient and Hessian action."""
+        ncore, ncas = self.ncore, self.ncas
+        nocc = ncore + ncas
+        act = slice(ncore, nocc)
+        e_nuc = float(self.mol.energy_nuc())
+        iu_r = jnp.asarray(iu[0])
+        iu_c = jnp.asarray(iu[1])
+
+        @jax.jit
+        def e_fixed(kx, mo0, hcore_ao, eri_ao, casdm1, casdm2):
+            kap = jnp.zeros((nmo, nmo)).at[iu_r, iu_c].set(kx)
+            kap = kap - kap.T
+            mo = mo0 @ jax.scipy.linalg.expm(kap)
+            hcore = mo.T @ hcore_ao @ mo
+            co = mo[:, :ncore]
+            ca = mo[:, act]
+            # core J/K via half transforms (never the full nmo^4 tensor)
+            dmc_ao = 2.0 * co @ co.T
+            jc_ao = jnp.einsum('pqrs,sr->pq', eri_ao, dmc_ao)
+            kc_ao = jnp.einsum('prqs,sr->pq', eri_ao, dmc_ao)
+            vhf_c_ao = jc_ao - 0.5 * kc_ao
+            e_core = (jnp.einsum('pq,qp->', hcore_ao + 0.5 * vhf_c_ao,
+                                 dmc_ao))
+            f_inact_aa = ca.T @ (hcore_ao + vhf_c_ao) @ ca
+            # active-space ERI (uv|wx)
+            eri_a = jnp.einsum('pqrs,pu,qv,rw,sx->uvwx', eri_ao,
+                               ca, ca, ca, ca)
+            e_act1 = jnp.einsum('pq,pq->', f_inact_aa, casdm1)
+            e_act2 = 0.5 * jnp.einsum('pqrs,pqrs->', eri_a, casdm2)
+            return e_core + e_act1 + e_act2 + e_nuc
+
+        return e_fixed
+
     def kernel(self, mo_coeff=None, ci0=None):
         mo = np.asarray(mo_coeff if mo_coeff is not None else self.mo_coeff)
         eri_ao = self._scf._eri
         if eri_ao is None:
             eri_ao = self.mol.intor('int2e')
             self._scf._eri = eri_ao
+        eri_ao = jnp.asarray(eri_ao)
+        hcore_ao = jnp.asarray(self._scf.get_hcore())
         nmo = mo.shape[1]
         mask = self._rotation_mask(nmo)
         iu = np.where(mask)
+        nrot = len(iu[0])
+        e_fixed = self._e_fixed_ci_fn(nmo, iu)
+        grad_fn = jax.jit(jax.grad(e_fixed))
+        zero = jnp.zeros(nrot)
+
+        @jax.jit
+        def hvp_fn(v, mo0, d1, d2):
+            return jax.jvp(
+                lambda k: grad_fn(k, mo0, hcore_ao, eri_ao, d1, d2),
+                (zero,), (v,))[1]
+
+        from ..soscf import _ah_davidson
+        from ..lib import logger
+        log = logger.new_logger(self)
         e_last = None
         conv = False
         ci0_ = ci0
@@ -78,35 +135,44 @@ class CASSCF(CASCI):
             ci0_ = self.ci
             casdm1, casdm2 = self.fcisolver.make_rdm12(self.ci, self.ncas,
                                                        self.nelecas)
-            mo_it = mo
-
-            def fun(x):
+            d1 = jnp.asarray(casdm1)
+            d2 = jnp.asarray(casdm2)
+            mo_j = jnp.asarray(mo)
+            # AH Newton micro-iterations on the frozen-CI surface
+            trust = 0.3
+            kx_norm = 0.0
+            gnorm = 0.0
+            for micro in range(self.max_cycle_micro):
+                g = np.asarray(grad_fn(zero, mo_j, hcore_ao, eri_ao,
+                                       d1, d2))
+                gnorm = np.linalg.norm(g)
+                if gnorm < 1e-7:
+                    break
+                step, _ = _ah_davidson(
+                    g, lambda v: hvp_fn(v, mo_j, d1, d2), trust)
+                e_try = float(e_fixed(jnp.asarray(step), mo_j, hcore_ao,
+                                      eri_ao, d1, d2))
+                e_cur = float(e_fixed(zero, mo_j, hcore_ao, eri_ao,
+                                      d1, d2))
+                if e_try > e_cur + 1e-12 and trust > 0.02:
+                    trust *= 0.5
+                    continue
+                trust = min(0.3, trust * 1.5)
                 kap = np.zeros((nmo, nmo))
-                kap[iu] = x
+                kap[iu] = step
                 kap = kap - kap.T
-                mo_x = mo_it @ scipy.linalg.expm(kap)
-                e, g = self._energy_and_grad_fixed_ci(mo_x, casdm1, casdm2,
-                                                      eri_ao)
-                # chain rule through expm ~ identity + kap (small steps):
-                # use gradient at mo_x projected to the rotation params
-                return e, g[iu]
-
-            res = scipy.optimize.minimize(
-                fun, np.zeros(len(iu[0])), jac=True, method='L-BFGS-B',
-                options={'maxiter': self.max_cycle_micro, 'gtol': 1e-7})
-            kap = np.zeros((nmo, nmo))
-            kap[iu] = res.x
-            kap = kap - kap.T
-            mo = mo_it @ scipy.linalg.expm(kap)
-            gnorm = np.linalg.norm(res.jac)
-            if self.verbose >= 4:
-                print(f'macro {it + 1}  E = {e_tot:.12f}  '
-                      f'|g_orb| = {gnorm:.3e}  |kappa| = '
-                      f'{np.linalg.norm(res.x):.3e}')
+                mo_j = jnp.asarray(np.asarray(mo_j)
+                                   @ scipy.linalg.expm(kap))
+                kx_norm = np.linalg.norm(step)
+                if kx_norm < 1e-8:
+                    break
+            mo = np.asarray(mo_j)
+            log.info('macro %d  E = %.12f  |g_orb| = %.3e  '
+                     '|kappa| = %.3e', it + 1, e_tot, gnorm, kx_norm)
             if getattr(self, 'chkfile', None):
                 self.dump_chk(mo, e_tot)
             if e_last is not None and abs(e_tot - e_last) < self.conv_tol \
-                    and np.linalg.norm(res.x) < self.conv_tol_grad:
+                    and kx_norm < self.conv_tol_grad:
                 conv = True
                 break
             e_last = e_tot
