@@ -1,6 +1,7 @@
 """Configuration interaction (analog of reference pyscf/ci)."""
-from .cisd_amp import CISD
+from .rcisd import RCISD
 from .cisd import CISD as CISD_det
-
-RCISD = CISD
 from .gcisd import GCISD, UCISD
+
+# reference ci.CISD(mf) on a closed-shell RHF is the spatial-orbital RCISD
+CISD = RCISD

@@ -109,3 +109,90 @@ def davidson(matvec, x0, neig=1, max_cycle=60, tol=1e-10, max_space=14,
             if nrm > 1e-7:
                 V.append(t / nrm)
     return evals, evecs, conv
+
+
+def davidson_nosym(matvec, x0, neig=1, max_cycle=80, tol=1e-9,
+                   max_space=None, hdiag=None):
+    """Davidson for the lowest-real-eigenvalue pairs of a NON-symmetric
+    operator with a real spectrum (similar to a symmetric matrix, e.g.
+    the closed-shell CISD Hamiltonian in biorthogonal amplitude
+    coordinates). Orthonormal subspace, oblique (non-symmetric) Rayleigh
+    projection, diagonal preconditioning.
+
+    Analog of reference lib/linalg_helper.py davidson_nosym1:741.
+    Returns (evals (neig,), evecs (neig, n), converged)."""
+    x0 = np.asarray(x0)
+    if x0.ndim == 1:
+        x0 = x0[None]
+    if max_space is None:
+        max_space = max(3 * (neig + 2), 14)
+    hd = None if hdiag is None else np.asarray(hdiag)
+    V = []
+    AV = []
+    for v in x0:
+        t = v.astype(float).copy()
+        for u in V:
+            t -= (u @ t) * u
+        nrm = np.linalg.norm(t)
+        if nrm > 1e-10:
+            V.append(t / nrm)
+            AV.append(np.asarray(matvec(V[-1])))
+    conv = False
+    evals = np.zeros(neig)
+    evecs = np.zeros((neig, x0.shape[1]))
+    theta_old = None
+    for _ in range(max_cycle):
+        Vm = np.stack(V)
+        AVm = np.stack(AV)
+        Am = Vm @ AVm.T                       # (m, m) non-symmetric
+        w, s = np.linalg.eig(Am)              # columns: right eigvecs
+        order = np.argsort(w.real)
+        w = w[order]
+        s = s[:, order]
+        nroot = min(neig + 2, len(w))
+        X = np.real(s[:, :nroot].T @ Vm)
+        AX = np.real(s[:, :nroot].T @ AVm)
+        theta = w.real[:nroot]
+        # renormalize ritz vectors
+        nx = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / nx
+        AX = AX / nx
+        R = AX - theta[:, None] * X
+        rnorm = np.linalg.norm(R, axis=1)
+        evals, evecs = theta[:neig], X[:neig]
+        if np.all(rnorm[:neig] < tol) or (
+                theta_old is not None
+                and np.all(np.abs(theta[:neig] - theta_old) < tol * 1e-2)
+                and np.all(rnorm[:neig] < np.sqrt(tol))):
+            conv = True
+            break
+        theta_old = theta[:neig]
+        if len(V) + nroot > max_space:
+            V = []
+            AV = []
+            for i in range(nroot):
+                t = X[i].copy()
+                for u in V:
+                    t -= (u @ t) * u
+                nrm = np.linalg.norm(t)
+                if nrm > 1e-10:
+                    V.append(t / nrm)
+                    AV.append(np.asarray(matvec(V[-1])))
+            continue
+        for i in range(nroot):
+            if rnorm[i] < tol:
+                continue
+            if hd is not None:
+                denom = hd - theta[i]
+                denom = np.where(np.abs(denom) < 1e-8,
+                                 np.sign(denom + 1e-30) * 1e-8, denom)
+                t = R[i] / denom
+            else:
+                t = R[i].copy()
+            for u in V:
+                t -= (u @ t) * u
+            nrm = np.linalg.norm(t)
+            if nrm > 1e-7:
+                V.append(t / nrm)
+                AV.append(np.asarray(matvec(V[-1])))
+    return evals, evecs, conv

@@ -46,3 +46,38 @@ def test_ucisd_open_shell():
     gc = GCISD(umf)
     ec, _ = gc.kernel()
     assert -0.1 < ec < 0
+
+
+def test_rcisd_spatial_vs_det_oracle():
+    """Polynomial spatial RCISD (CC-Jacobian sigma) == determinant CISD."""
+    from pyscf_tpu.ci.rcisd import RCISD
+    from pyscf_tpu.ci.cisd import CISD as DetCISD
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    ci = RCISD(mf)
+    e = ci.kernel()
+    d = DetCISD(mf)
+    d.kernel()
+    assert ci.converged
+    assert abs(e - d.e_corr) < 1e-8
+    dm = ci.make_rdm1()
+    assert abs(np.trace(dm) - mol.nelectron) < 1e-8
+
+
+def test_rcisd_h4_reference_golden():
+    """Reference ci/test/test_cisd.py test_h4 golden (2-electron system:
+    CISD == FCI, e_corr = -0.024780739973407784)."""
+    from pyscf_tpu.ci.rcisd import RCISD
+    mol = pt.M(atom=[['H', (1., -1., 0.)], ['H', (0., -1., -1.)],
+                     ['H', (1., -0.5, 0.)], ['H', (0., -1., 1.)]],
+               charge=2, basis='3-21g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-14
+    mf.kernel()
+    ci = RCISD(mf)
+    e = ci.kernel()
+    assert ci.converged
+    assert abs(e - (-0.024780739973407784)) < 1e-6

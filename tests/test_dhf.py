@@ -8,6 +8,7 @@ strategy: nonrelativistic limit + one-electron exactness).
 - real c: relativistic stabilization with the right sign and magnitude.
 """
 import numpy as np
+import pytest
 import scipy.linalg
 
 import pyscf_tpu as pt
@@ -56,3 +57,14 @@ def test_dhf_relativistic_correction():
     e_nossss = mf2.kernel()
     assert abs(e4c - e_nossss) < 1e-5
     assert e4c != e_nossss
+
+
+@pytest.mark.slow
+def test_dhf_h2o_631g_reference_golden():
+    """Many-electron DHF vs the reference golden
+    (scf/test/test_dhf.py:92-93 test_scf: -76.038520455193833)."""
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='6-31g', verbose=0)
+    mf = DHF(mol)
+    e = mf.kernel()
+    assert abs(e - (-76.038520455193833)) < 1e-8
