@@ -69,3 +69,48 @@ def density_fit(mf, auxbasis=None):
     from .df import DF
     mf.with_df = DF(mf.mol, auxbasis)
     return mf
+
+
+# ---------------------------------------------------------------------------
+# Large-system streaming path: scan over aux chunks so XLA's peak HBM is
+# bounded by (chunk, nao, nao) temporaries instead of the whole B factor
+# plus its per-einsum layout copies (a 580-AO / 1390-aux fused SCF program
+# otherwise requests ~80 GB on a 16 GB chip). Analog of the reference's
+# max_memory-blocked with_df.loop() (pyscf/df/df.py:40).
+# ---------------------------------------------------------------------------
+
+DF_CHUNK_ELEMS = 2.0e8       # aux-chunking kicks in above this B size
+
+
+def chunk_cderi(B, chunk=None):
+    """(naux, nao, nao) -> (nchunk, chunk, nao, nao), zero-padded."""
+    import numpy as _np
+    naux, nao = B.shape[0], B.shape[1]
+    if chunk is None:
+        chunk = max(8, int(DF_CHUNK_ELEMS / (8 * nao * nao)))
+        chunk = min(chunk, naux)
+    pad = -naux % chunk
+    Bc = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
+    return Bc.reshape((naux + pad) // chunk, chunk, nao, nao)
+
+
+def jk_chunked(Bc, dm, co=None):
+    """(vj, vk) by streaming aux chunks; co=None uses the density form."""
+    nao = dm.shape[-1]
+    dt = dm.dtype
+
+    def body(carry, Bx):
+        vj, vk = carry
+        rho = jnp.einsum('pkl,lk->p', Bx, dm)
+        vj = vj + jnp.einsum('p,pij->ij', rho, Bx)
+        if co is None:
+            Bd = jnp.einsum('pil,lk->pik', Bx, dm)
+            vk = vk + jnp.einsum('pik,pkj->ij', Bd, Bx)
+        else:
+            Bo = jnp.einsum('pij,jo->pio', Bx, co)
+            vk = vk + jnp.einsum('pio,pjo->ij', Bo, Bo)
+        return (vj, vk), None
+
+    init = (jnp.zeros((nao, nao), dt), jnp.zeros((nao, nao), dt))
+    (vj, vk), _ = jax.lax.scan(body, init, Bc)
+    return vj, vk

@@ -82,6 +82,36 @@ class RKS(KohnShamDFT, RHF):
                    data['aod'].shape, mesh.devices.size)
             return key, veff_fn, data, veff_dm_fn
         if self.with_df is not None:
+            from ..df.df_jk import DF_CHUNK_ELEMS, chunk_cderi, jk_chunked
+            if self.with_df.cderi.size > DF_CHUNK_ELEMS:
+                # large system: stream aux chunks (bounds XLA HBM temps)
+                data['B'] = chunk_cderi(self.with_df.cderi)
+                if omega:
+                    data['Blr'] = chunk_cderi(self._df_lr(omega).cderi)
+
+                def _veff_c(data, dm, co):
+                    _, exc, vxc = core(data['aod'], data['weights'], dm)
+                    vj, vk_full = jk_chunked(data['B'], dm, co)
+                    e2 = 0.5 * jnp.sum(vj * dm) + exc
+                    vhf = vxc + vj
+                    if hyb != 0.0 or omega:
+                        vk = hyb * vk_full
+                        if omega:
+                            vk = vk + (alpha - hyb) * jk_chunked(
+                                data['Blr'], dm, co)[1]
+                        vhf = vhf - 0.5 * vk
+                        e2 = e2 - 0.25 * jnp.sum(vk * dm)
+                    return vhf, e2
+
+                def veff_fn(data, dm, co):
+                    return _veff_c(data, dm, co)
+
+                def veff_dm_fn(data, dm):
+                    return _veff_c(data, dm, None)
+
+                key = ('rks-df-chunked', self.xc, hyb, omega,
+                       data['B'].shape, aod.shape)
+                return key, veff_fn, data, veff_dm_fn
             data['B'] = self.with_df.cderi
             if omega:
                 data['Blr'] = self._df_lr(omega).cderi

@@ -46,12 +46,14 @@ def ft_pair_chunk(la, lb, a, b, A, B, w, Gv):
     return jnp.einsum('gabt,tg->gab', ce, gpow)
 
 
-def ft_aopair(mol, Gv, shift=None, shifts=None):
+def ft_aopair(mol, Gv, shift=None, shifts=None, phases=None):
     """(nG, nao, nao) complex: int u(r) v(r) e^{-iGr}.
 
     shift displaces the KET AO centers by one vector; shifts (nL, 3)
     sums over many ket displacements (lattice images) inside the same
     chunked primitive stream -- one dispatch sequence for the whole sum.
+    phases (nL,) complex weights each ket image (Bloch phases e^{i k.L}
+    for k-point pair densities, reference pbc/df/ft_ao.py); default 1.
     """
     Gv = jnp.asarray(np.asarray(Gv, dtype=float).reshape(-1, 3))
     nG = Gv.shape[0]
@@ -119,7 +121,11 @@ def ft_aopair(mol, Gv, shift=None, shifts=None):
                 # scatter-reduce image-replicated pairs onto shell pairs
                 shell_idx = idx_p // (Ka * Kb)
                 accT = np.zeros((nsa * nsb, nG, nca, ncb), dtype=complex)
-                np.add.at(accT, shell_idx, blk.transpose(1, 0, 2, 3))
+                vals = blk.transpose(1, 0, 2, 3)
+                if phases is not None:
+                    vals = vals * np.asarray(phases)[idx_L][
+                        :, None, None, None]
+                np.add.at(accT, shell_idx, vals)
                 blk = accT.transpose(1, 0, 2, 3).reshape(
                     nG, nsa, nsb, nca, ncb)
             blk = np.einsum('mp,gabpq,nq->gambn', Sa, blk, Sb,
@@ -152,3 +158,59 @@ def ft_aopair_pbc(cell, Gv):
     screened primitive stream."""
     Ls = np.asarray(cell.get_lattice_Ls())
     return ft_aopair(cell, Gv, shifts=Ls)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _ft_single_chunk(l, a, A, w, Gv):
+    """FT of single solid-harmonic-Gaussian shells: (nG, C, ncart)."""
+    E3 = e3d(l, 0, a, jnp.zeros_like(a), A, A)       # (C, ncart, 1, ntuv)
+    G2 = jnp.einsum('gx,gx->g', Gv, Gv)
+    damp = jnp.exp(-G2[None, :] / (4.0 * a[:, None]))
+    phase = jnp.exp(-1j * (A @ Gv.T))
+    pref = (w * (jnp.pi / a) ** 1.5)[:, None] * damp * phase   # (C, nG)
+    tuvs = np.array(tuv_components(l), dtype=np.int64)
+    miG = -1j * Gv
+    gpow = (miG[None, :, 0] ** tuvs[:, 0:1]
+            * miG[None, :, 1] ** tuvs[:, 1:2]
+            * miG[None, :, 2] ** tuvs[:, 2:3])                 # (ntuv, nG)
+    return jnp.einsum('cat,cg,tg->gca', E3[:, :, 0, :] + 0j, pref, gpow)
+
+
+def ft_ao(mol, Gv):
+    """(nG, nao) complex: FT of every AO, int u(r) e^{-iG.r} dr.
+
+    For a periodic cell this IS the unit-cell FT of the Bloch AO at
+    G + k (single-image identity; reference pbc/df/ft_ao.py ft_ao)."""
+    Gv = jnp.asarray(np.asarray(Gv, dtype=float).reshape(-1, 3))
+    nG = Gv.shape[0]
+    out = np.zeros((nG, mol.nao), dtype=complex)
+    for l, g in mol.shell_groups.items():
+        S = cart2sph(l)
+        nsh, K = g.exps.shape
+        a = np.asarray(g.exps).reshape(-1)
+        w = np.asarray(g.coeffs).reshape(-1)
+        A = np.repeat(np.asarray(g.coords)[:, None, :], K, 1).reshape(-1, 3)
+        ok = w != 0
+        val = np.zeros((nG, nsh * K, len(cart_components(l))),
+                       dtype=complex)
+        if ok.any():
+            val[:, ok] = np.asarray(_ft_single_chunk(
+                l, jnp.asarray(a[ok]), jnp.asarray(A[ok]),
+                jnp.asarray(w[ok]), Gv))
+        val = val.reshape(nG, nsh, K, -1).sum(axis=2)     # (nG, nsh, ncart)
+        sph = np.einsum('mc,gsc->gsm', S, val).reshape(nG, -1)
+        cols = (g.ao_off[:, None] + np.arange(2 * l + 1)).ravel()
+        out[:, cols] = sph
+    return out
+
+
+def ft_aopair_kpt(cell, Gv, kptj):
+    """Periodic FT(AO pair) for a k-point pair: (nG, nao, nao) with
+    A_{mu,nu}(G) = sum_L e^{i kptj.L} int u(r) v(r - L) e^{-iG.r} dr.
+
+    Evaluate at Gv = G + q (q = kj - ki) to get the unit-cell FT of the
+    Bloch pair density conj(phi_{mu ki}) phi_{nu kj} (reference
+    pbc/df/ft_ao.py ft_aopair_kpts)."""
+    Ls = np.asarray(cell.get_lattice_Ls())
+    phases = np.exp(1j * (Ls @ np.asarray(kptj, dtype=float)))
+    return ft_aopair(cell, Gv, shifts=Ls, phases=phases)

@@ -44,6 +44,13 @@ class KRHF:
     def get_hcore(self):
         return self.with_df.get_hcore_kpts()
 
+    def density_fit(self, auxbasis=None):
+        """Switch the JK engine to k-point Gaussian DF (analytic-FT
+        builder, pbc/df/gdf.py KGDF; reference pbc/df/df.py GDF)."""
+        from ..df.gdf import KGDF
+        self.with_df = KGDF(self.cell, self.kpts, auxbasis=auxbasis)
+        return self
+
     def get_jk(self, dm_kpts, with_j=True, with_k=True):
         vj, vk = self.with_df.get_jk_kpts(dm_kpts, with_j, with_k)
         if with_k and self.exxdiv == 'ewald':

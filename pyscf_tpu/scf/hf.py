@@ -550,6 +550,24 @@ class RHF(SCF):
                 key = ('rhf-df-mesh', B.shape, mesh.devices.size)
                 return key, veff_fn, {'B': B}, veff_dm_fn
 
+            from ..df.df_jk import DF_CHUNK_ELEMS, chunk_cderi, jk_chunked
+            if B.size > DF_CHUNK_ELEMS:
+                # large system: stream aux chunks (bounds XLA HBM temps)
+                Bc = chunk_cderi(B)
+
+                def veff_fn(data, dm, co):
+                    vj, vk = jk_chunked(data['B'], dm, co)
+                    vhf = vj - 0.5 * vk
+                    return vhf, 0.5 * jnp.sum(vhf * dm)
+
+                def veff_dm_fn(data, dm):
+                    vj, vk = jk_chunked(data['B'], dm, None)
+                    vhf = vj - 0.5 * vk
+                    return vhf, 0.5 * jnp.sum(vhf * dm)
+
+                return (('rhf-df-chunked', Bc.shape), veff_fn,
+                        {'B': Bc}, veff_dm_fn)
+
             def veff_fn(data, dm, co):
                 B = data['B']
                 rho = jnp.einsum('pkl,lk->p', B, dm)

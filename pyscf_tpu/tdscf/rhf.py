@@ -347,6 +347,14 @@ class TDA:
         return w, np.hstack([holes, parts])
 
 
+    def nuc_grad_method(self, state=1):
+        """Analytic excited-state gradients (grad/tdrhf.py Gradients)."""
+        from ..grad.tdrhf import Gradients
+        return Gradients(self, state=state)
+
+    Gradients = nuc_grad_method
+
+
 class TDHF(TDA):
     def kernel(self, nstates=None):
         n = nstates or self.nstates

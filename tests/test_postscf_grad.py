@@ -95,3 +95,75 @@ def test_ccsd_grad_vs_fd_h2o():
         xm = x0.copy(); xm[a, d] -= h
         gfd = (etot(xp) - etot(xm)) / (2 * h)
         assert abs(g[a, d] - gfd) < 5e-6
+
+
+def test_tda_omega_functional_consistency():
+    """The stationary Rayleigh functionals used by the TDA/TDHF gradient
+    reproduce the solver's excitation energies exactly (all variants)."""
+    import jax.numpy as jnp
+    from pyscf_tpu.tdscf.rhf import TDA, TDHF
+    from pyscf_tpu.grad.tdrhf import _omega_functional
+    mol = pt.M(atom='O 0 0 0; H 0 -1.43 1.11; H 0 1.43 1.11',
+               unit='bohr', basis='sto-3g', verbose=0)
+    X0 = jnp.asarray(np.asarray(mol.coords))
+
+    def parts(mf):
+        occ = np.asarray(mf.mo_occ) > 0
+        C = jnp.asarray(mf.mo_coeff)
+        return (C[:, occ], C[:, ~occ],
+                jnp.asarray(np.asarray(mf.mo_energy)[occ]),
+                jnp.asarray(np.asarray(mf.mo_energy)[~occ]))
+
+    mfk = pt.dft.RKS(mol, xc='pbe,pbe').density_fit()
+    mfk.conv_tol = 1e-12
+    mfk.kernel()
+    for singlet in (True, False):
+        td = TDA(mfk)
+        td.singlet = singlet
+        td.nstates = 2
+        es = td.kernel()
+        f = _omega_functional(mfk, singlet)
+        x = jnp.asarray(np.asarray(td.xy[0][0]))
+        w = float(f(X0, *parts(mfk), x))
+        assert abs(w - float(es[0])) < 1e-12
+    mf = mol.RHF().density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    td = TDHF(mf)
+    td.nstates = 2
+    es = td.kernel()
+    x, y = td.xy[0]
+    f = _omega_functional(mf, True, rpa=True)
+    w = float(f(X0, *parts(mf), jnp.asarray(np.asarray(x)),
+                jnp.asarray(np.asarray(y))))
+    assert abs(w - float(es[0])) < 1e-12
+
+
+@pytest.mark.slow
+def test_tda_rhf_gradient_fd():
+    """Analytic TDA excited-state gradient vs finite differences."""
+    from pyscf_tpu.tdscf.rhf import TDA
+
+    def efn(coords):
+        mol = pt.M(atom=[('O', tuple(coords[0])), ('H', tuple(coords[1])),
+                         ('H', tuple(coords[2]))],
+                   unit='bohr', basis='sto-3g', verbose=0)
+        mf = mol.RHF().density_fit()
+        mf.conv_tol = 1e-13
+        mf.kernel()
+        td = TDA(mf)
+        td.nstates = 2
+        es = td.kernel()
+        return float(mf.e_tot + es[0]), td
+
+    c0 = np.array([[0., 0., 0.], [0., -1.43, 1.11], [0., 1.43, 1.11]])
+    e, td = efn(c0)
+    de = td.nuc_grad_method(state=1).kernel()
+    h = 1e-4
+    for (A, x) in ((1, 1), (0, 2)):
+        cp = c0.copy()
+        cp[A, x] += h
+        cm = c0.copy()
+        cm[A, x] -= h
+        fd = (efn(cp)[0] - efn(cm)[0]) / (2 * h)
+        assert abs(fd - de[A, x]) < 1e-5
