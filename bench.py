@@ -17,11 +17,12 @@ environment is available). vs_baseline = baseline_seconds / our_seconds
 
 Protocol: the cold run pays every jit compile (kernels are cached across
 processes via the persistent compilation cache) and populates the
-per-geometry integral caches. The warm run is the steady-state
-time-to-converged for a FRESH mean-field on the same geometry: grid
-build + AO evaluation + SCF to 1e-8 from the minao guess. The DF factor
-is geometry-cached (df/df.py) exactly like the integral tables; its
-one-time build cost is reported separately in the breakdown.
+per-geometry integral caches. The headline warm run is the steady-state
+time-to-converged for a FRESH mean-field on the same geometry with the
+DF geometry cache cleared, so it covers grid build + AO evaluation +
+DF factorization + SCF to 1e-8 from the minao guess — everything a
+whole-run baseline pays. warm_cached_s is the rerun with the per-Mole
+DF/integral caches warm (what a geomopt/MD step sees).
 """
 import json
 import time
@@ -103,8 +104,14 @@ def main():
     phases['fused_scf_loop'] = time.time() - t0
     ncyc = getattr(mf, 'scf_cycles', 0)
 
-    # warm run: steady-state fresh-mf time-to-converged
+    # warm run: steady-state fresh-mf time-to-converged.  The DF factor is
+    # rebuilt (geometry cache cleared) so the headline covers every phase a
+    # whole-run baseline pays; the cheaper geometry-cached rerun (what a
+    # geomopt/MD step or a second method on the same Mole sees) is reported
+    # separately as warm_cached_s.
+    mol._df_cache.clear()
     e2, t_warm, mf2 = run_scf(mol)
+    _, t_warm_cached, _ = run_scf(mol)
     assert mf2.converged, 'SCF did not converge'
     assert abs(e1 - e2) < 1e-9, (e1, e2)
     assert abs(e_phase - e2) < 1e-7, (e_phase, e2)
@@ -121,6 +128,7 @@ def main():
         'value': round(t_warm, 3),
         'unit': 'seconds',
         'vs_baseline': round(BASELINE_SECONDS / t_warm, 3),
+        'warm_cached_s': round(t_warm_cached, 3),
         'breakdown_s': {k: round(v, 3) for k, v in phases.items()},
         'cold_s': round(t_cold, 1),
         'scf_cycles': ncyc,

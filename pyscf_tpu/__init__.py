@@ -23,8 +23,23 @@ import os as _os  # noqa: E402
 
 _cache_dir = _os.environ.get('PYSCF_TPU_JIT_CACHE')
 if _cache_dir is None:
+    # key the default cache dir by the host CPU model: XLA:CPU AOT entries
+    # embed the compile machine's feature set, and replaying them on a
+    # different host warns (or SIGILLs). TPU entries are unaffected.
+    def _host_tag():
+        import hashlib
+        try:
+            with open('/proc/cpuinfo') as f:
+                for line in f:
+                    if line.startswith(('model name', 'flags')):
+                        return hashlib.sha1(line.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+        import platform
+        return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
     _cache_dir = _os.path.join(
-        _os.path.expanduser('~'), '.cache', 'pyscf_tpu', 'jit')
+        _os.path.expanduser('~'), '.cache', 'pyscf_tpu',
+        'jit-' + _host_tag())
 if _cache_dir not in ('0', ''):
     try:
         _os.makedirs(_cache_dir, exist_ok=True)

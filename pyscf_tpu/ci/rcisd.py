@@ -99,9 +99,10 @@ class RCISD:
         self.e_corr = float(e[0])
         self.e_roots = np.asarray(e)
         self.ci = vecs[0] / (vecs[0][0] if abs(vecs[0][0]) > 1e-12 else 1.0)
+        # reference API contract (pyscf/ci/cisd.py kernel): (e_corr, civec)
         if n == 1:
-            return self.e_corr
-        return self.e_roots
+            return self.e_corr, self.ci
+        return self.e_roots, vecs
 
     run = kernel
 

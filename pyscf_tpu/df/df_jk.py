@@ -79,15 +79,15 @@ def density_fit(mf, auxbasis=None):
 # max_memory-blocked with_df.loop() (pyscf/df/df.py:40).
 # ---------------------------------------------------------------------------
 
-DF_CHUNK_ELEMS = 2.0e8       # aux-chunking kicks in above this B size
+DF_CHUNK_ELEMS = 2.0e8        # activation: stream when B has more elements
+DF_CHUNK_BUDGET = 2.5e7       # per-chunk element budget (chunk*nao*nao)
 
 
 def chunk_cderi(B, chunk=None):
     """(naux, nao, nao) -> (nchunk, chunk, nao, nao), zero-padded."""
-    import numpy as _np
     naux, nao = B.shape[0], B.shape[1]
     if chunk is None:
-        chunk = max(8, int(DF_CHUNK_ELEMS / (8 * nao * nao)))
+        chunk = max(8, int(DF_CHUNK_BUDGET / (nao * nao)))
         chunk = min(chunk, naux)
     pad = -naux % chunk
     Bc = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))

@@ -16,11 +16,23 @@ class KohnShamDFT:
         self.grids = gen_grid.Grids(self.mol)
         self._numint = NumInt()
         self._exc = 0.0
-        # functionals with built-in nonlocal correlation (e.g. wB97X-V)
-        # switch VV10 on with their published parameters
-        nlc = getattr(xc_mod.parse_xc(xc), 'nlc', None)
+
+    @property
+    def xc(self):
+        return self._xc
+
+    @xc.setter
+    def xc(self, value):
+        # re-resolve built-in nonlocal correlation on every assignment so the
+        # reference-style pattern `mf = RKS(mol); mf.xc = 'wb97x-v'` turns
+        # VV10 on (and switching away turns it back off) — see
+        # pyscf/dft/rks.py KohnShamDFT.xc / numint NLC handling.
+        self._xc = value
+        nlc = getattr(xc_mod.parse_xc(value), 'nlc', None)
         if nlc is not None:
             self.nlc, self.nlc_b, self.nlc_C = nlc
+        else:
+            self.nlc = ''
 
     @property
     def xc_obj(self):

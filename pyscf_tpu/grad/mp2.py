@@ -76,7 +76,7 @@ class Gradients:
                     new_coords = np.asarray(coords_or_mol)
                 mol = pt.M(atom=[(el, tuple(xyz)) for el, xyz in
                                  zip(mol0.elements_, new_coords)],
-                           unit='bohr', basis=mol0._basis_name,
+                           unit='bohr', basis=mol0.basis,
                            charge=mol0.charge, spin=mol0.spin,
                            verbose=0)
                 mf = type(grad_obj.mf)(mol).density_fit()

@@ -158,7 +158,7 @@ class MultiGridFFTDF(FFTDF):
     def get_veff_rks(self, dm, xc):
         """Multigrid J + LDA/GGA XC on the prolongated fine density.
 
-        Returns (vhf, e2) like the fused veff closures: e2 = Ej + Exc."""
+        Returns (vhf, ej, exc)."""
         import jax
         cell = self.cell
         mesh = tuple(cell.mesh)
@@ -204,4 +204,4 @@ class MultiGridFFTDF(FFTDF):
         vxcG = np.fft.fftn(vxc_r.reshape(mesh))
         vxc = self._vmat_from_vG(vxcG)
         vhf = vj + jnp.asarray(vxc)
-        return vhf, ej + exc
+        return vhf, ej, exc

@@ -13,11 +13,26 @@ class RKS(PBCRHF):
         self.xc = xc
         self._exc = 0.0
 
+    def multigrid_fftdf_(self, nlevels=3):
+        """Switch the J/XC quadrature to the GPW multigrid engine
+        (pbc/dft/multigrid.py; reference analog
+        pyscf/pbc/dft/multigrid/multigrid.py:1069 nr_rks)."""
+        from .multigrid import MultiGridFFTDF
+        self.with_df = MultiGridFFTDF(self.cell, nlevels=nlevels)
+        return self
+
     def get_veff(self, mol=None, dm=None, dm_last=None, vhf_last=None):
         cell = self.cell
         df = self.with_df
         xc = xc_mod.parse_xc(self.xc)
         hyb = xc.hyb
+        from .multigrid import MultiGridFFTDF
+        if isinstance(df, MultiGridFFTDF) and hyb == 0.0:
+            vhf, ej, exc = df.get_veff_rks(dm, xc)
+            self._exc = exc
+            self._ecoul = ej
+            self._ek = 0.0
+            return vhf
         w = df.weight
         dm_np = np.asarray(dm)
         if xc.is_gga:

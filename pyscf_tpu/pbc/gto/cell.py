@@ -112,7 +112,7 @@ class Cell(Mole):
 
     def get_uniform_grids(self, mesh=None):
         """Real-space uniform grid points, (ngrid, 3)."""
-        mesh = mesh or self.mesh
+        mesh = self.mesh if mesh is None else mesh
         a = self.lattice_vectors_
         frac = [np.arange(n) / n for n in mesh]
         mg = np.meshgrid(*frac, indexing='ij')

@@ -58,7 +58,7 @@ def test_rcisd_spatial_vs_det_oracle():
     mf.conv_tol = 1e-12
     mf.kernel()
     ci = RCISD(mf)
-    e = ci.kernel()
+    e, _ = ci.kernel()
     d = DetCISD(mf)
     d.kernel()
     assert ci.converged
@@ -78,6 +78,6 @@ def test_rcisd_h4_reference_golden():
     mf.conv_tol = 1e-14
     mf.kernel()
     ci = RCISD(mf)
-    e = ci.kernel()
+    e, _ = ci.kernel()
     assert ci.converged
     assert abs(e - (-0.024780739973407784)) < 1e-6

@@ -167,3 +167,22 @@ def test_tda_rhf_gradient_fd():
         cm[A, x] -= h
         fd = (efn(cp)[0] - efn(cm)[0]) / (2 * h)
         assert abs(fd - de[A, x]) < 1e-5
+
+
+def test_mp2_grad_scanner_smoke():
+    """as_scanner() rebuilds the Mole correctly (regression: it used a
+    non-existent mol attribute) and returns (e_tot, grad) at a displaced
+    geometry."""
+    mol = pt.M(atom='H 0 0 0; H 0 0 0.74', basis='sto-3g', verbose=0)
+    mf = _dfmf(mol)
+    from pyscf_tpu.mp import MP2
+    mp = MP2(mf)
+    mp.kernel()
+    scan = mp.Gradients().as_scanner()
+    coords = np.asarray(mol.coords).copy()
+    coords[1, 2] += 0.05
+    e, g = scan(coords)
+    assert scan.converged
+    assert np.isfinite(e) and e < -1.0
+    assert g.shape == (2, 3)
+    assert abs(g.sum(axis=0)).max() < 1e-9

@@ -112,3 +112,20 @@ def test_wb97xv_he():
     assert mf.nlc == 'VV10' and mf.nlc_b == 6.0
     # self-golden (locked at first implementation)
     assert abs(e - (-2.87392355)) < 1e-6
+
+
+def test_xc_assignment_resolves_nlc():
+    """`mf.xc = 'wb97x-v'` after construction must switch VV10 on, and
+    assigning a VV10-free functional must switch it back off (the
+    reference resolves NLC from the xc string at evaluation time)."""
+    import pyscf_tpu as pt
+    mol = pt.M(atom='He 0 0 0', basis='sto-3g', verbose=0)
+    mf = pt.dft.RKS(mol)            # lda,vwn: no NLC
+    assert not getattr(mf, 'nlc', '')
+    mf.xc = 'wb97x-v'
+    assert getattr(mf, 'nlc', '')
+    assert mf.nlc_b > 0 and mf.nlc_C > 0
+    mf.xc = 'pbe,pbe'
+    assert not getattr(mf, 'nlc', '')
+    mf2 = pt.dft.RKS(mol, xc='wb97x-v')
+    assert getattr(mf2, 'nlc', '')
