@@ -1,0 +1,24 @@
+"""Shared example-script setup: fall back to CPU if the configured JAX
+platform cannot initialize (e.g. the TPU tunnel is down), BEFORE jax is
+imported in this process. Keeps long scaling runs from dying on a
+transient backend failure."""
+import os
+import subprocess
+import sys
+
+
+def ensure_backend(probe_timeout=240):
+    plat = os.environ.get('JAX_PLATFORMS', '')
+    if not plat or plat == 'cpu':
+        return
+    try:
+        probe = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output=True, timeout=probe_timeout)
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        sys.stderr.write(f'[pyscf_tpu examples] JAX platform {plat!r} '
+                         'failed to initialize; falling back to CPU\n')
+        os.environ['JAX_PLATFORMS'] = 'cpu'

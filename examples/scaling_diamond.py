@@ -10,13 +10,12 @@ import time
 import json
 
 T0 = time.time()
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _env import ensure_backend  # noqa: E402
+ensure_backend()        # fall back to CPU if the TPU tunnel is down
 import jax  # noqa: E402
-for _attempt in range(60):
-    try:
-        jax.devices()
-        break
-    except RuntimeError:
-        time.sleep(10)
+jax.devices()
 from pyscf_tpu.pbc.gto import Cell  # noqa: E402
 from pyscf_tpu.pbc.dft import RKS  # noqa: E402
 

@@ -1,14 +1,12 @@
 import time, json
 T0 = time.time()
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _env import ensure_backend
+ensure_backend()        # fall back to CPU if the TPU tunnel is down
 import numpy as np
 import jax
-# the axon TPU tunnel occasionally refuses a second client; retry
-for _attempt in range(60):
-    try:
-        jax.devices()
-        break
-    except RuntimeError:
-        time.sleep(10)
+jax.devices()
 import pyscf_tpu as pt
 
 # compact (H2O)10: two stacked pentagonal rings (O-O ~ 2.8 A), a standard

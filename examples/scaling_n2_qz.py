@@ -9,13 +9,12 @@ import time
 import json
 
 T0 = time.time()
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _env import ensure_backend  # noqa: E402
+ensure_backend()        # fall back to CPU if the TPU tunnel is down
 import jax  # noqa: E402
-for _attempt in range(60):
-    try:
-        jax.devices()
-        break
-    except RuntimeError:
-        time.sleep(10)
+jax.devices()
 import pyscf_tpu as pt  # noqa: E402
 
 mol = pt.M(atom='N 0 0 0; N 0 0 1.0977', basis='cc-pvqz', verbose=0)

@@ -1,6 +1,8 @@
 """DFT (analog of reference pyscf/dft)."""
 from .rks import RKS
 from .uks import UKS
+from .roks import ROKS
+from .gks import GKS
 from . import gen_grid, radi, xc
 from .numint import NumInt
 Grids = gen_grid.Grids

@@ -683,4 +683,15 @@ WB97_PARAMS = {
                 (0.556, -0.257),
                 (1.219, -1.850),
                 ('VV10', 6.0, 0.01)),
+    # Chai & Head-Gordon JCP 128, 084106 (2008), Table 1
+    'WB97': (0.4, 0.0, 1.0,
+             (1.0, 1.13116, -2.74915, 12.09000, -5.71642),
+             (1.0, -2.55352, 11.8926, -26.9452, 17.0927),
+             (1.0, 3.99051, -17.0066, 1.07292, 8.88211),
+             None),
+    'WB97X': (0.3, 0.157706, 1.0,
+              (0.842294, 0.726069, 1.04451, -5.70635, 13.2794),
+              (1.0, -4.33879, 18.2308, -31.7430, 17.2901),
+              (1.0, 2.37031, -11.3995, 6.58405, -3.78132),
+              None),
 }

@@ -358,6 +358,14 @@ class Mole:
         from ..dft import UKS
         return UKS(self, xc=xc, **kwargs)
 
+    def ROKS(self, xc='lda,vwn', **kwargs):
+        from ..dft import ROKS
+        return ROKS(self, xc=xc, **kwargs)
+
+    def GKS(self, xc='lda,vwn', **kwargs):
+        from ..dft import GKS
+        return GKS(self, xc=xc, **kwargs)
+
     def KS(self, xc='lda,vwn', **kwargs):
         from ..dft import KS
         return KS(self, xc=xc, **kwargs)
