@@ -75,7 +75,7 @@ class Gradients:
                 else:
                     new_coords = np.asarray(coords_or_mol)
                 mol = pt.M(atom=[(el, tuple(xyz)) for el, xyz in
-                                 zip(mol0.elements_, new_coords)],
+                                 zip(mol0.raw_symbols, new_coords)],
                            unit='bohr', basis=mol0.basis,
                            charge=mol0.charge, spin=mol0.spin,
                            verbose=0)

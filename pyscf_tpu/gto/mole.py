@@ -66,20 +66,110 @@ class ShellGroup:
         self.shell_ids = np.asarray(shell_ids, dtype=np.int32)
 
 
-def format_atom(atom, unit='angstrom'):
-    """Parse atom input -> (symbols, coords[natm,3] in Bohr).
+def ghost_element(sym):
+    """Underlying element symbol of a ghost-atom label, or None.
 
-    Accepts 'O 0 0 0; H 0 1 0', list [('O', (x,y,z)), ...] or
-    [[charge, (x,y,z)], ...]. Mirrors reference gto/mole.py:322 format_atom.
-    """
+    'GHOST-O'/'ghost_O'/'ghostO'/'X-O' -> 'O'; bare 'X'/'GHOST'/'X2' ->
+    '' (ghost with no implied element: basis must be given explicitly).
+    Non-ghost labels -> None. Mirrors the reference's dummy-atom
+    conventions (gto/mole.py is_ghost_atom / _charge)."""
+    import re
+    s = str(sym)
+    u = s.upper()
+    if u.startswith('GHOST'):
+        m = re.match(r'([A-Za-z]+)', s[5:].lstrip('-_:'))
+        return m.group(1).capitalize() if m else ''
+    if u.startswith('X-'):
+        m = re.match(r'([A-Za-z]+)', s[2:])
+        return m.group(1).capitalize() if m else ''
+    if re.match(r'X\d*$', u):
+        return ''
+    return None
+
+
+def _zmat_to_cart(lines):
+    """Internal (z-matrix) lines -> cartesian coords (input length unit).
+
+    Each line: SYM [a r [b theta [c phi]]] with 1-based atom refs, theta/
+    phi in degrees. Orientation conventions are this module's own (total
+    energies are rotation invariant); reference analog gto/mole.py
+    from_zmatrix."""
+    coords = []
+    for ln, toks in enumerate(lines):
+        vals = toks[1:]
+        if len(vals) == 0:
+            coords.append(np.zeros(3))
+            continue
+        a = int(vals[0]) - 1
+        r = float(vals[1])
+        A = coords[a]
+        if len(vals) == 2:
+            coords.append(A + np.array([r, 0.0, 0.0]))
+            continue
+        b = int(vals[2]) - 1
+        theta = float(vals[3]) * np.pi / 180.0
+        B = coords[b]
+        e1 = B - A
+        e1 = e1 / np.linalg.norm(e1)
+        if len(vals) == 4:
+            # first out-of-line atom: any plane through A-B works
+            trial = np.array([0.0, 0.0, 1.0])
+            if abs(e1 @ trial) > 0.9:
+                trial = np.array([0.0, 1.0, 0.0])
+            n = np.cross(e1, trial)
+            n = n / np.linalg.norm(n)
+            m = np.cross(n, e1)
+            coords.append(A + r * (np.cos(theta) * e1 + np.sin(theta) * m))
+            continue
+        c = int(vals[4]) - 1
+        phi = float(vals[5]) * np.pi / 180.0
+        C = coords[c]
+        n = np.cross(e1, C - B)
+        nn = np.linalg.norm(n)
+        if nn < 1e-10:           # A,B,C collinear: plane is arbitrary
+            trial = np.array([0.0, 0.0, 1.0])
+            if abs(e1 @ trial) > 0.9:
+                trial = np.array([0.0, 1.0, 0.0])
+            n = np.cross(e1, trial)
+            nn = np.linalg.norm(n)
+        n = n / nn
+        m = np.cross(n, e1)
+        d = (np.cos(theta) * e1
+             + np.sin(theta) * (np.cos(phi) * m + np.sin(phi) * n))
+        coords.append(A + r * d)
+    return np.array(coords, dtype=np.float64)
+
+
+def _is_int(tok):
+    try:
+        int(tok)
+        return True
+    except ValueError:
+        return False
+
+
+def format_atom(atom, unit='angstrom'):
+    """Parse atom input -> (symbols, raw_symbols, coords[natm,3] in Bohr).
+
+    Accepts 'O 0 0 0; H 0 1 0', z-matrix strings ('O; H 1 0.96;
+    H 1 0.96 2 104.5'), list [('O', (x,y,z)), ...] or
+    [[charge, (x,y,z)], ...]. Ghost atoms: 'ghost-O' / 'X-O' carry O's
+    basis with zero nuclear charge. Mirrors reference gto/mole.py:322
+    format_atom (+ from_zmatrix:4007)."""
     if isinstance(atom, str):
-        entries = []
+        lines = []
         for seg in atom.replace('\n', ';').split(';'):
             seg = seg.strip()
-            if not seg:
-                continue
-            toks = seg.replace(',', ' ').split()
-            entries.append((toks[0], [float(x) for x in toks[1:4]]))
+            if seg and not seg.startswith('#'):
+                lines.append(seg.replace(',', ' ').split())
+        is_zmat = (len(lines) > 1 and len(lines[0]) == 1
+                   and len(lines[1]) == 3 and _is_int(lines[1][1]))
+        if is_zmat:
+            coords = _zmat_to_cart(lines)
+            entries = [(toks[0], xyz) for toks, xyz in zip(lines, coords)]
+        else:
+            entries = [(toks[0], [float(x) for x in toks[1:4]])
+                       for toks in lines]
     else:
         entries = []
         for item in atom:
@@ -87,7 +177,10 @@ def format_atom(atom, unit='angstrom'):
             if not isinstance(coord, (list, tuple, np.ndarray)):
                 coord = item[1:4]
             entries.append((sym, [float(x) for x in coord]))
-    symbols = [elements.std_symbol(s) for s, _ in entries]
+    symbols = []
+    for s, _ in entries:
+        g = ghost_element(s)
+        symbols.append(g if g is not None else elements.std_symbol(s))
     raw_symbols = [str(s) for s, _ in entries]
     coords = np.array([c for _, c in entries], dtype=np.float64)
     if isinstance(unit, str):
@@ -164,23 +257,36 @@ class Mole:
                 self._ecp[ia] = entry
                 self.charges[ia] -= entry[0]
 
-        # per-element basis resolution
+        # per-element basis resolution (raw symbol wins in dict lookups so
+        # ghost labels can carry their own basis, reference format_basis)
         if isinstance(self.basis, dict):
-            def elem_basis(sym):
-                b = self.basis.get(sym, self.basis.get('default'))
+            def elem_basis(sym, rawsym):
+                b = self.basis.get(rawsym,
+                                   self.basis.get(sym,
+                                                  self.basis.get('default')))
                 if isinstance(b, str):
+                    if not sym:
+                        raise ValueError(
+                            f'ghost atom {rawsym!r}: a named basis needs '
+                            'an element (use ghost-<El>, or give raw '
+                            'basis data for this label)')
                     return basis_mod.load(b, sym)
                 return b
         else:
-            def elem_basis(sym):
+            def elem_basis(sym, rawsym):
                 if isinstance(self.basis, str):
+                    if not sym:
+                        raise ValueError(
+                            f'ghost atom {rawsym!r}: a named basis needs '
+                            'an element (use ghost-<El>, or a basis dict '
+                            'keyed by this label)')
                     return basis_mod.load(self.basis, sym)
                 return self.basis
 
         # expand into segmented normalized shells
         shells = []
         for ia, sym in enumerate(self.elements_):
-            for raw in elem_basis(sym):
+            for raw in elem_basis(sym, self.raw_symbols[ia]):
                 l = raw[0]
                 prims = np.array(raw[1:], dtype=np.float64)
                 exps = prims[:, 0]
@@ -329,7 +435,7 @@ class Mole:
 
     def tostring(self):
         lines = [f'{s} {x:.10f} {y:.10f} {z:.10f}'
-                 for s, (x, y, z) in zip(self.elements_,
+                 for s, (x, y, z) in zip(self.raw_symbols,
                                          self.coords * param.BOHR)]
         return '\n'.join(lines)
 
