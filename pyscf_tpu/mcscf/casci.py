@@ -25,6 +25,36 @@ class CASCI:
         self.ci = None
         self.verbose = mf.mol.verbose
 
+    def density_fit(self, auxbasis=None):
+        """Use a density-fitted ERI everywhere in the CAS problem (core
+        Fock, active-space integrals, orbital optimization) — the analog
+        of reference mcscf/df.py density_fit (DFCASCI/DFCASSCF). Reuses
+        the mean field's DF factor when compatible."""
+        from ..df import DF
+        mfdf = getattr(self._scf, 'with_df', None)
+        if mfdf is not None and (auxbasis is None
+                                 or auxbasis == mfdf.auxbasis):
+            self.with_df = mfdf
+        else:
+            self.with_df = DF(self.mol, auxbasis).build()
+        return self
+
+    def _eri_ao(self):
+        """Dense AO ERI tensor: exact, or assembled from the DF factor
+        when .density_fit() was requested (then every CAS quantity is
+        consistently the DF approximation, which is what the analytic
+        gradient differentiates)."""
+        import jax.numpy as _jnp
+        wdf = getattr(self, 'with_df', None)
+        if wdf is not None:
+            B = wdf.cderi
+            return _jnp.einsum('pij,pkl->ijkl', B, B)
+        eri = self._scf._eri
+        if eri is None:
+            eri = self.mol.intor('int2e')
+            self._scf._eri = eri
+        return eri
+
     def h1e_for_cas(self, mo_coeff=None):
         mo = mo_coeff if mo_coeff is not None else self.mo_coeff
         ncore, ncas = self.ncore, self.ncas
@@ -33,7 +63,11 @@ class CASCI:
         hcore = self._scf.get_hcore()
         if ncore > 0:
             dm_core = 2.0 * mo_core @ mo_core.T
-            vj, vk = self._scf.get_jk(self.mol, dm_core)
+            wdf = getattr(self, 'with_df', None)
+            if wdf is not None:
+                vj, vk = wdf.get_jk(dm_core)
+            else:
+                vj, vk = self._scf.get_jk(self.mol, dm_core)
             veff = vj - 0.5 * vk
             ecore = (self.mol.energy_nuc()
                      + float(jnp.einsum('ij,ji->', hcore, dm_core))
@@ -48,6 +82,11 @@ class CASCI:
         mo = mo_coeff if mo_coeff is not None else self.mo_coeff
         mo_cas = mo[:, self.ncore:self.ncore + self.ncas]
         from .. import ao2mo
+        wdf = getattr(self, 'with_df', None)
+        if wdf is not None:
+            from ..df.df_jk import _bmo
+            Ba = _bmo(wdf.cderi, jnp.asarray(mo_cas), jnp.asarray(mo_cas))
+            return np.asarray(jnp.einsum('ptu,pvw->tuvw', Ba, Ba))
         eri_ao = self._scf._eri
         if eri_ao is None:
             eri_ao = self.mol.intor('int2e')

@@ -104,11 +104,7 @@ class CASSCF(CASCI):
 
     def kernel(self, mo_coeff=None, ci0=None):
         mo = np.asarray(mo_coeff if mo_coeff is not None else self.mo_coeff)
-        eri_ao = self._scf._eri
-        if eri_ao is None:
-            eri_ao = self.mol.intor('int2e')
-            self._scf._eri = eri_ao
-        eri_ao = jnp.asarray(eri_ao)
+        eri_ao = jnp.asarray(self._eri_ao())
         hcore_ao = jnp.asarray(self._scf.get_hcore())
         nmo = mo.shape[1]
         mask = self._rotation_mask(nmo)
@@ -182,6 +178,12 @@ class CASSCF(CASCI):
         return e_tot, e_cas, self.ci
 
     run = kernel
+
+    def Gradients(self):
+        from ..grad.casscf import Gradients
+        return Gradients(self)
+
+    nuc_grad_method = Gradients
 
     def dump_chk(self, mo=None, e_tot=None):
         """Per-macro-iteration checkpoint (reference mcscf/chkfile.py)."""
