@@ -1,7 +1,9 @@
 import time, json
 T0 = time.time()
 import os, sys
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)                      # for _env
+sys.path.insert(0, os.path.dirname(_HERE))     # repo root for pyscf_tpu
 from _env import ensure_backend
 ensure_backend()        # fall back to CPU if the TPU tunnel is down
 import numpy as np

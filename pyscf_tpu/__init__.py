@@ -29,10 +29,18 @@ if _cache_dir is None:
     def _host_tag():
         import hashlib
         try:
+            key = b''
             with open('/proc/cpuinfo') as f:
                 for line in f:
+                    # hash model name AND the feature flags: cloud hosts
+                    # share a model string across generations whose AVX512
+                    # subsets differ, and a stale AOT entry then SIGILLs
                     if line.startswith(('model name', 'flags')):
-                        return hashlib.sha1(line.encode()).hexdigest()[:10]
+                        key += line.encode()
+                        if line.startswith('flags'):
+                            break
+            if key:
+                return hashlib.sha1(key).hexdigest()[:10]
         except OSError:
             pass
         import platform

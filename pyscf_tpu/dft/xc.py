@@ -29,6 +29,14 @@ def _c_pw92(ra, rb, saa, sab, sbb):
     return F.pw92_c(ra, rb)
 
 
+def _c_pz81(ra, rb, saa, sab, sbb):
+    return F.pz81_c(ra, rb)
+
+
+def _c_p86(ra, rb, saa, sab, sbb):
+    return F.p86_c(ra, rb, saa + 2 * sab + sbb)
+
+
 def _x_b88(ra, rb, saa, sab, sbb):
     return F.b88_x(ra, rb, saa, sbb)
 
@@ -95,6 +103,9 @@ FUNCTIONALS = {
     'PW92': (LDA, _c_pw92),
     'PW': (LDA, _c_pw92),
     'PW_LDA': (LDA, _c_pw92),
+    'PZ81': (LDA, _c_pz81),
+    'PZ': (LDA, _c_pz81),
+    'P86': (GGA, _c_p86),
     'B88': (GGA, _x_b88),
     'B': (GGA, _x_b88),
     'PBE_X': (GGA, _x_pbe),
@@ -119,7 +130,16 @@ COMPOUND = {
     'PBE0': (0.25, [(0.75, 'PBE_X')], [(1.0, 'PBE_C')]),
     'PBEH': (0.25, [(0.75, 'PBE_X')], [(1.0, 'PBE_C')]),
     'BLYP': (0.0, [(1.0, 'B88')], [(1.0, 'LYP')]),
-    'BP86': None,   # TODO: P86 correlation
+    # reference dft/libxc.py XC_CODES 'BP86': 'B88,P86'
+    'BP86': (0.0, [(1.0, 'B88')], [(1.0, 'P86')]),
+    # reference 'B3P86' (libxc 403, the Gaussian form, VWN-RPA) and the
+    # explicit 'B3P86V5' = .2*HF+.08*SLATER+.72*B88, .81*P86+.19*VWN
+    'B3P86': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+              [(0.81, 'P86'), (0.19, 'VWN_RPA')]),
+    'B3P86G': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+               [(0.81, 'P86'), (0.19, 'VWN_RPA')]),
+    'B3P86V5': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
+                [(0.81, 'P86'), (0.19, 'VWN5')]),
     'B3LYP': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
               [(0.81, 'LYP'), (0.19, 'VWN_RPA')]),
     'B3LYP5': (0.2, [(0.08, 'SLATER'), (0.72, 'B88')],
@@ -224,6 +244,15 @@ def parse_xc(xc_code):
         terms = [(1.0, GGA, _wb97_term(omega, cx, css, cos_))]
         return XCFunctional(sr_hf, terms, rsh=(omega, lr_hf, sr_hf),
                             nlc=nlc)
+    if cname == 'B97D':
+        cname = 'B97_D'
+    if cname in F.B97_PARAMS:
+        # full-range B97 power-series hybrids: same machinery with omega=0
+        # (the SR attenuation factor F(a->0)=1). Reference analog: libxc
+        # HYB_GGA_XC_B97* via pyscf/dft/libxc.py XC_ALIAS 'B97-1' etc.
+        hyb, cx, css, cos_ = F.B97_PARAMS[cname]
+        terms = [(1.0, GGA, _wb97_term(0.0, cx, css, cos_))]
+        return XCFunctional(hyb, terms)
     if cname in RSH_COMPOUND:
         code = cname
     if code in RSH_COMPOUND:

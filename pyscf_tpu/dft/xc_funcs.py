@@ -695,3 +695,85 @@ WB97_PARAMS = {
               (1.0, 2.37031, -11.3995, 6.58405, -3.78132),
               None),
 }
+
+
+# ---------------------------------------------------------------------------
+# PZ81 LDA correlation + P86 gradient correction (BP86/B3P86)
+# ---------------------------------------------------------------------------
+
+def _pz81_eps_channel(rs, lng, g, b1, b2, A, B, C, D):
+    """Perdew-Zunger 1981 (PRB 23, 5048) eps_c for one spin channel.
+
+    rs < 1: A ln rs + B + C rs ln rs + D rs;  rs >= 1: g/(1+b1 sqrt(rs)+b2 rs).
+    Both branches are evaluated (jnp.where) -- safe for rs > 0.
+    """
+    lo = A * lng + B + C * rs * lng + D * rs
+    hi = g / (1.0 + b1 * jnp.sqrt(rs) + b2 * rs)
+    return jnp.where(rs < 1.0, lo, hi)
+
+
+def pz81_eps(rho_a, rho_b):
+    """PZ81 correlation energy per particle (the LDA inside P86)."""
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-15, 1 - 1e-15)
+    rs = _rs(rho)
+    lng = jnp.log(rs)
+    ep = _pz81_eps_channel(rs, lng, -0.1423, 1.0529, 0.3334,
+                           0.0311, -0.048, 0.0020, -0.0116)
+    ef = _pz81_eps_channel(rs, lng, -0.0843, 1.3981, 0.2611,
+                           0.01555, -0.0269, 0.0007, -0.0048)
+    return ep + (ef - ep) * _f_zeta(zeta)
+
+
+def pz81_c(rho_a, rho_b):
+    return (rho_a + rho_b) * pz81_eps(rho_a, rho_b)
+
+
+def p86_c(rho_a, rho_b, sigma):
+    """Perdew 1986 correlation (PRB 33, 8822): PZ81 local part plus the
+    gradient correction e^{-Phi} C(rho) |grad rho|^2 / (d(zeta) rho^{4/3}).
+    sigma = |grad rho_total|^2. Reference analog: libxc gga_c_p86 used by
+    'BP86'/'B3P86' (pyscf/dft/libxc.py XC_CODES 'BP86': 'B88,P86')."""
+    rho = jnp.maximum(rho_a + rho_b, _TINY)
+    zeta = jnp.clip((rho_a - rho_b) / rho, -1 + 1e-15, 1 - 1e-15)
+    rs = _rs(rho)
+    # C(rs) with C(0) = 0.004235, C(inf) = 0.001667 (paper eq. 6)
+    beta = 7.389e-6
+    cn = 0.001667 + ((0.002568 + 0.023266 * rs + beta * rs * rs)
+                     / (1.0 + 8.723 * rs + 0.472 * rs * rs
+                        + 1.0e4 * beta * rs ** 3))
+    c_hd = 0.001667 + 0.002568        # high-density limit C(0)
+    grad = jnp.sqrt(jnp.maximum(sigma, _TINY))
+    phi = 1.745 * 0.11 * (c_hd / cn) * grad / rho ** (7.0 / 6.0)
+    d = 2.0 ** (1.0 / 3.0) * jnp.sqrt(
+        ((1.0 + zeta) / 2.0) ** (5.0 / 3.0)
+        + ((1.0 - zeta) / 2.0) ** (5.0 / 3.0))
+    e_grad = jnp.exp(-jnp.minimum(phi, 200.0)) * cn * jnp.maximum(
+        sigma, 0.0) / (d * rho ** (4.0 / 3.0))
+    return pz81_c(rho_a, rho_b) + e_grad
+
+
+# published B97-family full-range parameter sets (omega = 0):
+# name -> (hyb, cx, css, cos)
+B97_PARAMS = {
+    # Becke JCP 107, 8554 (1997), Table I
+    'B97': (0.1943,
+            (0.8094, 0.5073, 0.7481),
+            (0.1737, 2.3487, -2.4868),
+            (0.9454, 0.7471, -4.5961)),
+    # Hamprecht, Cohen, Tozer, Handy JCP 109, 6264 (1998), Table II
+    'B97_1': (0.21,
+              (0.789518, 0.573805, 0.660975),
+              (0.0820011, 2.71681, -2.87103),
+              (0.955689, 0.788552, -5.47869)),
+    # Wilson, Bradley, Tozer JCP 115, 9233 (2001), Table 1
+    'B97_2': (0.21,
+              (0.827642, 0.04784, 1.76125),
+              (0.585808, -0.691682, 0.394796),
+              (0.999849, 1.40626, -7.44060)),
+    # Grimme J. Comput. Chem. 27, 1787 (2006) (use with DFT-D2)
+    'B97_D': (0.0,
+              (1.08662, -0.52127, 3.25429),
+              (0.22340, -1.56208, 1.94293),
+              (0.69041, 6.30270, -14.9712)),
+}

@@ -129,3 +129,81 @@ def test_xc_assignment_resolves_nlc():
     assert not getattr(mf, 'nlc', '')
     mf2 = pt.dft.RKS(mol, xc='wb97x-v')
     assert getattr(mf2, 'nlc', '')
+
+
+# ---------------------------------------------------------------------------
+# PZ81 / P86 (BP86, B3P86) and the full-range B97 power-series family
+# ---------------------------------------------------------------------------
+
+def test_pz81_vs_pw92():
+    """PZ81 and PW92 both parametrize the Ceperley-Alder UEG data; their
+    eps_c must agree to ~1e-3 Ha over the metallic range (a transcription
+    error in any PZ81 constant breaks this by orders of magnitude)."""
+    for rs in (0.5, 1.0, 2.0, 5.0, 10.0, 20.0):
+        n = 3.0 / (4.0 * np.pi * rs ** 3)
+        e_pz = float(F.pz81_eps(n / 2, n / 2))
+        e_pw = float(F.pw92_eps(n / 2, n / 2))
+        assert abs(e_pz - e_pw) < 1.5e-3
+    # spin-polarized channel too
+    n = 3.0 / (4.0 * np.pi * 2.0 ** 3)
+    e_pz = float(F.pz81_eps(n, 1e-30))
+    e_pw = float(F.pw92_eps(n, 1e-30))
+    assert abs(e_pz - e_pw) < 1.5e-3
+
+
+def test_pz81_continuity_at_rs1():
+    """The PZ81 piecewise form is continuous at rs=1 by construction."""
+    n_lo = 3.0 / (4.0 * np.pi * 0.999 ** 3)
+    n_hi = 3.0 / (4.0 * np.pi * 1.001 ** 3)
+    jump = abs(float(F.pz81_eps(n_lo / 2, n_lo / 2))
+               - float(F.pz81_eps(n_hi / 2, n_hi / 2)))
+    assert jump < 5e-5
+
+
+def test_p86_limits():
+    """sigma -> 0 reduces P86 to PZ81; the local-ratio C(rs) hits its
+    published endpoints C(0)=0.004235, C(inf)=0.001667 (Perdew PRB 33,
+    8822, eq. 6)."""
+    n = 0.3
+    assert abs(float(F.p86_c(n / 2, n / 2, 0.0) - F.pz81_c(n / 2, n / 2))) \
+        < 1e-14
+    # gradient correction at rs->0: e_grad -> C(0) sigma / rho^{4/3}
+    n_hd = 3.0 / (4.0 * np.pi * 1e-4 ** 3)
+    sig = (1e-3 * n_hd ** (7.0 / 6.0)) ** 2   # keep Phi tiny
+    e_grad = float(F.p86_c(n_hd / 2, n_hd / 2, sig) - F.pz81_c(n_hd / 2,
+                                                               n_hd / 2))
+    assert abs(e_grad / (sig / n_hd ** (4.0 / 3.0)) - 0.004235) < 5e-4
+    # low-density limit of C: rs = 1e4
+    n_ld = 3.0 / (4.0 * np.pi * 1e4 ** 3)
+    sig = (1e-3 * n_ld ** (7.0 / 6.0)) ** 2
+    e_grad = float(F.p86_c(n_ld / 2, n_ld / 2, sig) - F.pz81_c(n_ld / 2,
+                                                               n_ld / 2))
+    assert abs(e_grad / (sig / n_ld ** (4.0 / 3.0)) - 0.001667) < 5e-4
+
+
+def test_b97_family_ueg():
+    """At zero density gradient every B97-family member reduces to
+    c_x0 * LDA_x + Stoll-partitioned PW92 weighted by c_ss0/c_os0."""
+    n = 0.3
+    for name, (hyb, cx, css, cos_) in F.B97_PARAMS.items():
+        xcf = xc_mod.parse_xc(name)
+        assert xcf.hyb == hyb and xcf.omega == 0.0
+        e = float(xcf.exc_density(n / 2, n / 2, 1e-30, 1e-30, 1e-30))
+        ex = cx[0] * float(F.lda_x(n / 2, n / 2))
+        ec_ab = n * float(F.pw92_eps(n / 2, n / 2))
+        ec_ss = n / 2 * float(F.pw92_eps(n / 2, 1e-30))
+        expect = ex + 2 * css[0] * ec_ss + cos_[0] * (ec_ab - 2 * ec_ss)
+        assert abs(e - expect) < 1e-7
+
+
+def test_bp86_b3p86_parse_and_he():
+    fn = xc_mod.parse_xc('BP86')
+    assert fn.hyb == 0.0 and fn.is_gga and not fn.is_mgga
+    fn3 = xc_mod.parse_xc('B3P86')
+    assert fn3.hyb == 0.2
+    mol = pt.M(atom='He 0 0 0', basis='sto-3g', verbose=0)
+    for xc, lo, hi in (('bp86', -2.87, -2.79), ('b3p86', -2.87, -2.79),
+                       ('b97-1', -2.87, -2.79), ('b97d', -2.87, -2.79)):
+        mf = pt.dft.RKS(mol, xc=xc)
+        e = mf.kernel()
+        assert mf.converged and lo < e < hi, (xc, e)
