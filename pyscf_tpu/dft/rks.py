@@ -2,6 +2,7 @@
 get_veff:37)."""
 import jax.numpy as jnp
 
+from ..lib import logger
 from ..scf.hf import RHF, SCF
 from . import gen_grid
 from . import xc as xc_mod
@@ -37,6 +38,33 @@ class KohnShamDFT:
     @property
     def xc_obj(self):
         return xc_mod.parse_xc(self.xc)
+
+    def kernel(self, dm0=None, **kwargs):
+        """SCF, plus the PT2 tail for double hybrids (B2PLYP family):
+        e_tot = E_SCF[semilocal+hybrid part] + c_os*E_os + c_ss*E_ss with
+        the MP2 pair energies on the converged KS orbitals. The reference
+        composes this by hand (libxc hybrid part + scaled mp.MP2); here
+        ``RKS(mol, xc='b2plyp')`` is complete."""
+        e_scf = super().kernel(dm0, **kwargs)
+        pt2 = self.xc_obj.pt2
+        if pt2 is None:
+            return e_scf
+        self.e_scf = e_scf
+        c_os, c_ss = pt2
+        from .. import mp
+        kind = getattr(self, '_fused_kind', None)
+        if kind not in ('restricted', 'unrestricted'):
+            raise NotImplementedError(
+                'double-hybrid PT2 tail only for RKS/UKS references')
+        pt = (mp.UMP2(self) if kind == 'unrestricted' else mp.MP2(self))
+        pt.verbose = 0
+        pt.kernel()
+        self.e_pt2 = float(pt.energy_scs(p_os=c_os, p_ss=c_ss))
+        self.e_tot = e_scf + self.e_pt2
+        logger.new_logger(self).note(
+            'double hybrid: E_SCF= %.14f  E_PT2= %.14f  E= %.14f',
+            e_scf, self.e_pt2, self.e_tot)
+        return self.e_tot
 
 
 class RKS(KohnShamDFT, RHF):

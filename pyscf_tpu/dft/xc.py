@@ -158,6 +158,17 @@ COMPOUND = {
     'HF': (1.0, [], []),
 }
 
+# double hybrids: name -> (hyb, x_terms, c_terms, (c_os, c_ss) PT2)
+# B2PLYP: Grimme JCP 124, 034108 (2006); B2GP-PLYP: Karton et al. JPCA
+# 112, 12868 (2008); DSD-BLYP: Kozuch & Martin JPCC 114, 20801 (2010)
+# (spin-component-scaled PT2, parameters without the D3 correction).
+DH_COMPOUND = {
+    'B2PLYP': (0.53, [(0.47, 'B88')], [(0.73, 'LYP')], (0.27, 0.27)),
+    'B2GPPLYP': (0.65, [(0.35, 'B88')], [(0.64, 'LYP')], (0.36, 0.36)),
+    'DSD_BLYP': (0.69, [(0.31, 'B88')], [(0.54, 'LYP')], (0.46, 0.37)),
+    'DSDBLYP': (0.69, [(0.31, 'B88')], [(0.54, 'LYP')], (0.46, 0.37)),
+}
+
 # range-separated compounds: name -> (omega, alpha_SR_HF, beta_LR_increment,
 #                                     x_terms_builder, c_terms)
 # K_eff = alpha*K_full(SR part handled as alpha) ... in reference terms:
@@ -179,7 +190,8 @@ def _wb97_term(omega, cx, css, cos_):
 
 
 class XCFunctional:
-    def __init__(self, hyb, terms, rsh=(0.0, 0.0, 0.0), nlc=None):
+    def __init__(self, hyb, terms, rsh=(0.0, 0.0, 0.0), nlc=None,
+                 pt2=None):
         self.hyb = hyb               # HF exchange fraction (SR part for RSH)
         self.terms = terms           # [(coeff, family, fn)]
         self.family = max((f for _, f, _ in terms), default=LDA)
@@ -189,6 +201,10 @@ class XCFunctional:
         self.omega = rsh[0]
         # built-in nonlocal correlation: ('VV10', b, C) or None
         self.nlc = nlc
+        # double-hybrid PT2 tail: (c_os, c_ss) MP2 coefficients evaluated
+        # on the converged KS orbitals (reference users compose this by
+        # hand: libxc semilocal part + scaled mp.MP2; here it is native)
+        self.pt2 = pt2
 
     def exc_density(self, ra, rb, saa, sab, sbb, ta=None, tb=None):
         e = 0.0
@@ -262,6 +278,13 @@ def parse_xc(xc_code):
             fam, fn = FUNCTIONALS[n]
             terms.append((c, fam, fn))
         return XCFunctional(a, terms, rsh=(omega, a + b, a))
+    if cname in DH_COMPOUND:
+        hyb, xs, cs, pt2 = DH_COMPOUND[cname]
+        terms = []
+        for c, n in xs + cs:
+            fam, fn = FUNCTIONALS[n]
+            terms.append((c, fam, fn))
+        return XCFunctional(hyb, terms, pt2=pt2)
     if code in COMPOUND and COMPOUND[code] is not None:
         hyb, xs, cs = COMPOUND[code]
         terms = []

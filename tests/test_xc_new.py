@@ -207,3 +207,28 @@ def test_bp86_b3p86_parse_and_he():
         mf = pt.dft.RKS(mol, xc=xc)
         e = mf.kernel()
         assert mf.converged and lo < e < hi, (xc, e)
+
+
+def test_double_hybrid_b2plyp():
+    """RKS(xc='b2plyp') must equal the hand-composed definition exactly:
+    SCF with 0.53 HF + 0.47 B88 x / 0.73 LYP c, plus 0.27 * MP2 on the
+    converged KS orbitals (Grimme JCP 124, 034108 (2006))."""
+    from pyscf_tpu import mp
+    fn = xc_mod.parse_xc('B2PLYP')
+    assert fn.hyb == 0.53 and fn.pt2 == (0.27, 0.27)
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = pt.dft.RKS(mol, xc='b2plyp').density_fit()
+    e = mf.kernel()
+    mf2 = pt.dft.RKS(mol, xc='0.53*HF + 0.47*B88, 0.73*LYP').density_fit()
+    e2 = mf2.kernel()
+    pt2 = mp.MP2(mf2)
+    pt2.kernel()
+    assert abs(e - (e2 + 0.27 * float(pt2.energy_scs(1.0, 1.0)))) < 1e-10
+    assert abs(mf.e_scf - e2) < 1e-10
+
+
+def test_double_hybrid_dsd_scs():
+    """DSD-BLYP splits the PT2 tail into os/ss components (0.46/0.37)."""
+    fn = xc_mod.parse_xc('DSD-BLYP')
+    assert fn.hyb == 0.69 and fn.pt2 == (0.46, 0.37)
