@@ -134,11 +134,18 @@ class RAGF2:
         self.e_init = None
         self.gf = None
         self.se = None
-        # MO integrals and core hamiltonian
+        # MO integrals and core hamiltonian. With a density-fitted mean
+        # field the MO ERIs come from the DF factorization (reference
+        # agf2/dfragf2.py keeps B factors; at AGF2's O(nmo^5) moment cost
+        # the assembled (nmo^4) tensor is the cheaper HBM-resident form).
         mo = self.mo_coeff
         nmo = self.nmo
-        self.eri = np.asarray(ao2mo_full(self.mol, mo)).reshape(
-            nmo, nmo, nmo, nmo)
+        with_df = getattr(mf, 'with_df', None)
+        if with_df is not None:
+            self.eri = np.asarray(with_df.ao2mo(mo))
+        else:
+            self.eri = np.asarray(ao2mo_full(self.mol, mo)).reshape(
+                nmo, nmo, nmo, nmo)
         self.h1e = mo.T @ np.asarray(mf.get_hcore()) @ mo
         self.e_hf = float(mf.e_tot)
 

@@ -324,6 +324,22 @@ class CCSD:
     def ccsd(self, t1=None, t2=None):
         return self.kernel(t1, t2)
 
+    # ---- spatial-orbital EOM-CCSD (cc/eom_rccsd.py) -------------------
+    def eomee_ccsd_singlet(self, nroots=3):
+        from .eom_rccsd import EOMEESinglet
+        eom = EOMEESinglet(self)
+        return eom.kernel(nroots), eom.v
+
+    def ipccsd(self, nroots=3):
+        from .eom_rccsd import EOMIP
+        eom = EOMIP(self)
+        return eom.kernel(nroots), eom.v
+
+    def eaccsd(self, nroots=3):
+        from .eom_rccsd import EOMEA
+        eom = EOMEA(self)
+        return eom.kernel(nroots), eom.v
+
 
 RCCSD = CCSD
 

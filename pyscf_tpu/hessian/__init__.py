@@ -79,12 +79,18 @@ def thermo(mol, freq_au, e_tot, temperature=298.15, pressure=101325.0):
 def Hessian(mf, **kwargs):
     """Nuclear Hessian of a converged mean field (reference mf.Hessian()).
 
-    Dispatches to the analytic CPHF Hessian (hessian/rhf.py) for
-    density-fitted restricted RHF/RKS with global-hybrid or pure
-    functionals; otherwise falls back to the semi-analytic
-    FD-of-analytic-gradient path."""
+    Dispatches to the analytic CPHF Hessian (hessian/rhf.py for
+    restricted, hessian/uhf.py for unrestricted) for density-fitted
+    mean fields with global-hybrid or pure functionals; otherwise falls
+    back to the semi-analytic FD-of-analytic-gradient path."""
     try:
-        from .rhf import Hessian as AnalyticHessian
+        if getattr(mf, 'with_solvent', None) is not None:
+            # implicit solvent: FD over the solvated analytic gradient
+            raise NotImplementedError('solvent Hessian via FD path')
+        if getattr(mf, '_fused_kind', None) == 'unrestricted':
+            from .uhf import Hessian as AnalyticHessian
+        else:
+            from .rhf import Hessian as AnalyticHessian
         return AnalyticHessian(mf, **kwargs)
     except NotImplementedError:
         return HessianFD(mf, **kwargs)
@@ -106,14 +112,32 @@ class HessianFD:
         isks = hasattr(mf0, 'xc')
         isdf = getattr(mf0, 'with_df', None) is not None
 
+        isuhf = getattr(mf0, '_fused_kind', None) == 'unrestricted'
+
         def grad_factory(m2):
-            if isks:
+            if isks and isuhf:
+                from ..dft import UKS
+                f = UKS(m2, xc=mf0.xc)
+            elif isks:
                 from ..dft import RKS
                 f = RKS(m2, xc=mf0.xc)
+            elif isuhf:
+                f = m2.UHF()
             else:
                 f = m2.RHF()
             if isdf:
                 f = f.density_fit(mf0.with_df.auxbasis)
+            sol = getattr(mf0, 'with_solvent', None)
+            if sol is not None:
+                # rebuild the same solvent model at the displaced geometry
+                # (reference hessian/thermo FD over solvated gradients; no
+                # dedicated solvent Hessian code needed)
+                if type(sol).__name__ == 'DDCOSMO':
+                    from ..solvent.ddcosmo import ddcosmo_for_scf
+                    f = ddcosmo_for_scf(f, eps=sol.eps, lmax=sol.lmax)
+                else:
+                    from ..solvent.pcm import pcm_for_scf
+                    f = pcm_for_scf(f, eps=sol.eps, method=sol.method)
             f.conv_tol = min(mf0.conv_tol, 1e-11)
             f.kernel()
             return f.Gradients().kernel()

@@ -189,3 +189,10 @@ class UHF(SCF):
     def Gradients(self):
         from ..grad import uhf as uhf_grad
         return uhf_grad.Gradients(self)
+
+    def nuc_grad_method(self):
+        return self.Gradients()
+
+    def Hessian(self, **kwargs):
+        from ..hessian import Hessian
+        return Hessian(self, **kwargs)

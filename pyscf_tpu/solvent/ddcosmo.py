@@ -239,10 +239,17 @@ class DDCOSMO:
 
         # adjoint solution and its surface coupling (JCP 141 Eq 39)
         LS = np.linalg.solve(self.Lmat.T, psi.ravel()).reshape(natm, nlm)
+        LS = self._adjoint_filter(LS)
         xi = np.einsum('n,jn,xn,jx->jn', self.weights_1sph, self.ui,
                        self.ylm_1sph, LS)
         vmat += np.einsum('k,kij->ij', xi[self._extern], self._vints)
         return psi, vmat
+
+    def _adjoint_filter(self, LS):
+        """Hook for models that filter phi before the COSMO solve
+        (ddPCM applies M = A_diele^-1 A_inf, so the adjoint surface
+        coupling uses M^T L^-T psi)."""
+        return LS
 
     def _get_vind(self, dm):
         if not self._built:

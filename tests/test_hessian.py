@@ -67,3 +67,44 @@ def test_harmonic_frequencies_h2():
     hfd = _fd_hessian(mf)
     ref = np.sort(harmonic_analysis(mol, hfd)['freq_wavenumber'])
     assert abs(freqs[-1] - ref[-1]) < 5.0   # cm^-1
+
+
+def test_df_uhf_analytic_hessian():
+    """Spin-coupled CPHF Hessian for an open-shell doublet (OH radical):
+    shape, translational invariance, symmetry."""
+    mol = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1,
+               verbose=0)
+    mf = mol.UHF().density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    h = mf.Hessian().kernel()
+    natm = mol.natm
+    assert h.shape == (natm, 3, natm, 3)
+    assert abs(h.sum(axis=0)).max() < 1e-6
+    hm = h.reshape(3 * natm, 3 * natm)
+    assert abs(hm - hm.T).max() < 1e-9
+
+
+@pytest.mark.slow
+def test_df_uhf_analytic_hessian_vs_fd():
+    mol = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1,
+               verbose=0)
+    mf = mol.UHF().density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    h = mf.Hessian().kernel()
+    hfd = _fd_hessian(mf)
+    assert abs(h - hfd).max() < 1e-5
+
+
+@pytest.mark.slow
+def test_df_uks_analytic_hessian_vs_fd():
+    mol = pt.M(atom='O 0 0 0; H 0 0 0.97', basis='sto-3g', spin=1,
+               verbose=0)
+    mf = pt.dft.UKS(mol, xc='pbe0').density_fit()
+    mf.conv_tol = 1e-12
+    mf.grids.level = 5
+    mf.kernel()
+    h = mf.Hessian().kernel()
+    hfd = _fd_hessian(mf)
+    assert abs(h - hfd).max() < 2e-4

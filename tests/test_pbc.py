@@ -151,3 +151,21 @@ def test_get_bands_reproduces_scf_eigenvalues():
                    - np.asarray(mf.mo_energy[k])).max() < 1e-7
     be2, _ = mf.get_bands(np.array([[0.123, 0.041, -0.07]]))
     assert np.all(np.isfinite(be2[0]))
+
+
+@pytest.mark.slow
+def test_krhf_kgdf_vs_fftdf():
+    """k-point Gaussian DF (CD over analytic pair FTs, pbc/df/gdf.py
+    KGDF) reproduces the exact FFTDF K-point SCF (reference parity
+    target: pbc/df/df.py GDF vs fft.py on the same mesh)."""
+    from pyscf_tpu.pbc.scf.khf import KRHF
+    cell = Cell(mesh=[15] * 3, **DIAMOND).build()
+    kpts = cell.make_kpts([2, 1, 1])
+    mf = KRHF(cell, kpts=kpts)
+    mf.conv_tol = 1e-9
+    e_fft = mf.kernel()
+    mf2 = KRHF(cell, kpts=kpts).density_fit()
+    mf2.conv_tol = 1e-9
+    e_gdf = mf2.kernel()
+    assert mf2.converged
+    assert abs(e_gdf - e_fft) < 1e-7
