@@ -7,7 +7,20 @@ jax.sharding meshes.
 """
 __version__ = '0.1.0'
 
-import jax
+import os as _os_pre
+
+# XLA:CPU AOT cache entries embed compile-tuning pseudo-features
+# (+prefer-no-scatter/gather) that never appear in the host CPU feature
+# detection, so every persistent-cache load logs a full-page ERROR that is
+# noise (the entries load and run fine; real failures still raise Python
+# exceptions). Silence C++ ERROR logs unless the user asked for them.
+# (the interpreter environment ships TF_CPP_MIN_LOG_LEVEL=1 via site
+# customization, so override rather than setdefault; opt out with
+# PYSCF_TPU_KEEP_CLOGS=1)
+if not _os_pre.environ.get('PYSCF_TPU_KEEP_CLOGS'):
+    _os_pre.environ['TF_CPP_MIN_LOG_LEVEL'] = '3'
+
+import jax  # noqa: E402
 
 # Quantum chemistry needs 1e-8 Ha accuracy: run in float64 (TPU emulates f64;
 # hot kernels downcast internally where validated).

@@ -40,18 +40,11 @@ class DF:
             self.auxmol, self._cderi = cache[key]
             return self
         self.auxmol = addons.make_auxmol(mol, self.auxbasis)
-        naux = self.auxmol.nao
-        nao = mol.nao
-        with integral_compute():
-            j3c = int2e_mod.int3c2e.__wrapped__(mol, self.auxmol,
-                                                omega=self.omega)
-            j2c = int2e_mod.int2c2e.__wrapped__(self.auxmol,
-                                                omega=self.omega)
-            L = jnp.linalg.cholesky(j2c)
-            # B[P,ij]: solve L B = j3c^T
-            rhs = j3c.reshape(nao * nao, naux).T
-            B = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        self._cderi = to_compute_device(B.reshape(naux, nao, nao))
+        from ..ops.integrals.j3c import df_factor
+        # v2 engine: device-resident, sph-folded, program-count-disciplined
+        # (ops/integrals/j3c.py); B never crosses the host-device link.
+        self._cderi = to_compute_device(
+            df_factor(mol, self.auxmol, omega=self.omega))
         cache[key] = (self.auxmol, self._cderi)
         return self
 

@@ -216,7 +216,8 @@ class Mole:
         self._built = False
 
     _CACHE_ATTRS = ('_intor_cache', '_scf_prog_cache', '_aod_prog_cache',
-                    '_grad_prog_cache', '_int_pair_cache', '_df_cache')
+                    '_grad_prog_cache', '_int_pair_cache', '_df_cache',
+                    '_j3c_cache')
 
     def _drop_caches(self):
         for a in self._CACHE_ATTRS:

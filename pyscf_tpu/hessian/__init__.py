@@ -132,12 +132,22 @@ class HessianFD:
                 # rebuild the same solvent model at the displaced geometry
                 # (reference hessian/thermo FD over solvated gradients; no
                 # dedicated solvent Hessian code needed)
-                if type(sol).__name__ == 'DDCOSMO':
-                    from ..solvent.ddcosmo import ddcosmo_for_scf
+                from ..solvent.ddcosmo import DDCOSMO, ddcosmo_for_scf
+                from ..solvent.ddpcm import DDPCM, ddpcm_for_scf
+                from ..solvent.pcm import PCM, pcm_for_scf
+                from ..solvent.smd import SMD, smd_for_scf
+                # most-derived-first: DDPCM subclasses DDCOSMO
+                if isinstance(sol, DDPCM):
+                    f = ddpcm_for_scf(f, eps=sol.eps, lmax=sol.lmax)
+                elif isinstance(sol, DDCOSMO):
                     f = ddcosmo_for_scf(f, eps=sol.eps, lmax=sol.lmax)
-                else:
-                    from ..solvent.pcm import pcm_for_scf
+                elif isinstance(sol, SMD):
+                    f = smd_for_scf(f, solvent=sol.solvent)
+                elif isinstance(sol, PCM):
                     f = pcm_for_scf(f, eps=sol.eps, method=sol.method)
+                else:
+                    raise NotImplementedError(
+                        'FD Hessian with solvent model %s' % type(sol))
             f.conv_tol = min(mf0.conv_tol, 1e-11)
             f.kernel()
             return f.Gradients().kernel()

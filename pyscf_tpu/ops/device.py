@@ -26,8 +26,21 @@ def _gen_device():
     """The device integral-generation kernels should run on (or None)."""
     if _PREF == 'default':
         return None
-    if jax.default_backend() == 'cpu':
-        return None
+    try:
+        if jax.default_backend() == 'cpu':
+            return None
+    except RuntimeError:
+        # default backend failed to initialize (e.g. dead TPU tunnel with
+        # JAX_PLATFORMS naming it). Retry with automatic backend selection
+        # so the CPU-capable path keeps working (results/scaling_n2_qz.log
+        # died here in round 4).
+        import os
+        os.environ['JAX_PLATFORMS'] = ''
+        try:
+            if jax.default_backend() == 'cpu':
+                return None
+        except RuntimeError:
+            return None
     try:
         return jax.devices('cpu')[0]
     except RuntimeError:
@@ -49,7 +62,10 @@ def to_compute_device(x):
     """Move a finished integral table to the default (accelerator) device."""
     if _gen_device() is None:
         return x
-    return jax.device_put(x, jax.devices()[0])
+    try:
+        return jax.device_put(x, jax.devices()[0])
+    except RuntimeError:
+        return x
 
 
 def on_integral_device(fn):

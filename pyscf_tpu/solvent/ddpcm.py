@@ -61,8 +61,10 @@ class DDPCM(DDCOSMO):
                     continue
                 vjk = r_vdw[ja] * pts + coords[ja] - coords[ka]
                 rjk = np.linalg.norm(vjk, axis=1)
-                if rjk.min() > r_vdw[ja] + r_vdw[ka] + 6.0:
-                    continue                     # far pair: negligible
+                # no distance cutoff: the double-layer coupling decays only
+                # polynomially ((r_k/r_jk)^(l'+1), ~1e-2 relative at
+                # r_j+r_k+6 bohr for l'=1) and the dense solve already
+                # scales as (natm*nlm)^2 (advisor finding, round 4)
                 pol = _multipoles(vjk, lmax)     # pol[l] = rjk^l Y(v^)
                 p1 = 0
                 for l in range(lmax + 1):

@@ -34,6 +34,24 @@ def _round_key(R):
     return tuple(np.round(np.asarray(R), 6).ravel())
 
 
+def _op_matcher(ops):
+    """ops list -> fn(R) = index of the op closest to R (tolerant match).
+
+    Exact rounded-key dicts mis-key elements whose entries land near a
+    rounding boundary on noisy geometries; nearest-neighbor matching under
+    TOL is robust (advisor finding, round 4)."""
+    arr = np.stack([np.asarray(R) for R in ops])        # (n, 3, 3)
+
+    def match(R):
+        d = np.abs(arr - np.asarray(R)[None]).max(axis=(1, 2))
+        j = int(np.argmin(d))
+        if d[j] > 1e-4:
+            raise KeyError('group operation not found (closure hole); '
+                           'max-abs deviation %.2e' % d[j])
+        return j
+    return match
+
+
 def full_group_ops(coords, charges):
     """All point-group operations (3x3 orthogonal matrices) of the
     centered molecule, by candidate verification + closure."""
@@ -74,15 +92,14 @@ def full_group_ops(coords, charges):
 def conjugacy_classes(ops):
     """List of lists of op indices."""
     n = len(ops)
-    keys = {_round_key(R): i for i, R in enumerate(ops)}
+    match = _op_matcher(ops)
     unassigned = set(range(n))
     classes = []
     while unassigned:
         i = min(unassigned)
         cls = set()
         for g in ops:
-            j = keys[_round_key(g @ ops[i] @ g.T)]
-            cls.add(j)
+            cls.add(match(g @ ops[i] @ g.T))
         classes.append(sorted(cls))
         unassigned -= cls
     return classes
@@ -93,7 +110,7 @@ def character_table(ops, classes):
     """(nirrep, nclass) complex character table via Burnside's method."""
     n = len(ops)
     nc = len(classes)
-    keys = {_round_key(R): i for i, R in enumerate(ops)}
+    match = _op_matcher(ops)
     cls_of = np.empty(n, dtype=int)
     for ic, cls in enumerate(classes):
         for i in cls:
@@ -103,7 +120,7 @@ def character_table(ops, classes):
     for ic, cls in enumerate(classes):
         for i in cls:
             for j in range(n):
-                k = keys[_round_key(ops[i] @ ops[j])]
+                k = match(ops[i] @ ops[j])
                 N[ic, cls_of[j], cls_of[k]] += 1
     for kc in range(nc):
         N[:, :, kc] /= len(classes[kc])
@@ -218,6 +235,26 @@ def _mulliken_names(group, ops, classes, rows):
     if len(classes) == 2 and any(k[0] == 'sigma' for k in kinds):
         isig = next(i for i, k in enumerate(kinds) if k[0] == 'sigma')
         return ["a'" if chi[isig] > 0 else "a''" for chi, _ in rows]
+    # D2/D2h special case: three inequivalent C2 axes, labels b1/b2/b3 by
+    # which C2 has character +1 (z -> b1, y -> b2, x -> b3; advisor r4)
+    c2_classes = [(i, k[2]) for i, k in enumerate(kinds)
+                  if k[0] == 'C' and k[1] == 2]
+    is_d2 = (n_prin == 2 and len(c2_classes) == 3 and not cubic)
+
+    def _nE_same_suffix(chi0):
+        """2-dim irreps sharing chi0's g/u (or '/'') suffix — the set an
+        E_k subscript must disambiguate within."""
+        n = 0
+        for chi, _ in rows:
+            if int(round(chi[iE])) != 2:
+                continue
+            if i_inv is not None and chi[i_inv] * chi0[i_inv] < 0:
+                continue
+            if i_inv is None and i_sh is not None \
+                    and chi[i_sh] * chi0[i_sh] < 0:
+                continue
+            n += 1
+        return n
     names = []
     for chi, members in rows:
         d = int(round(chi[iE]))
@@ -228,6 +265,15 @@ def _mulliken_names(group, ops, classes, rows):
             if d in (1, 3) and isub is not None:
                 sub = '1' if chi[isub] > 0 else '2'
             name = base + sub
+        elif d == 1 and is_d2:
+            plus = [(i, ax) for i, ax in c2_classes if chi[i] > 0.5]
+            if len(plus) == 3:
+                name = 'A'
+            else:
+                # b1/b2/b3 by the +1 axis: z-like, y-like, x-like
+                ax = plus[0][1] if plus else np.array([0., 0., 1.])
+                comp = int(np.argmax(np.abs(ax)))
+                name = 'B' + {2: '1', 1: '2', 0: '3'}[comp]
         elif d == 1:
             base = 'A'
             if i_prin is not None and n_prin >= 2 and \
@@ -241,8 +287,11 @@ def _mulliken_names(group, ops, classes, rows):
         else:
             base = {2: 'E', 3: 'T', 4: 'G', 5: 'H'}[d]
             sub = ''
-            if d == 2 and i_prin is not None and n_prin >= 4:
-                # E_k: chi(C_n) = 2 cos(2 pi k / n)
+            if d == 2 and i_prin is not None and n_prin >= 4 \
+                    and _nE_same_suffix(chi) > 1:
+                # E_k: chi(C_n) = 2 cos(2 pi k / n); subscript only when
+                # the group has more than one 2-dim irrep (advisor r4:
+                # C4v/D4h have a single E, conventionally unsubscripted)
                 c = np.clip(chi[i_prin] / 2.0, -1, 1)
                 k = int(round(n_prin * np.arccos(c) / (2 * np.pi)))
                 sub = str(max(k, 1))
