@@ -6,6 +6,11 @@ import os
 import subprocess
 import sys
 
+# silence the XLA CPU AOT pseudo-feature mismatch error spam before any
+# jax import initializes C++ logging (see pyscf_tpu/__init__.py)
+if not os.environ.get('PYSCF_TPU_KEEP_CLOGS'):
+    os.environ['TF_CPP_MIN_LOG_LEVEL'] = '3'
+
 
 def ensure_backend(probe_timeout=240):
     plat = os.environ.get('JAX_PLATFORMS', '')

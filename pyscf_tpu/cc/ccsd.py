@@ -23,6 +23,7 @@ from ..lib.diis import DIIS
 from ..lib import logger
 
 VVVV_AUX_CHUNK = 32     # aux slots per ladder-scan step
+OVVV_MAX_ELEMS = 2.0e8  # DF runs ovvv-free above this nocc*nvir^3
 
 
 def _make_eris(mycc):
@@ -54,14 +55,22 @@ def _make_eris(mycc):
         Bvv_c = jnp.pad(Bvv, ((0, pad), (0, 0), (0, 0))).reshape(
             (naux + pad) // VVVV_AUX_CHUNK, VVVV_AUX_CHUNK,
             cv.shape[1], cv.shape[1])
+        nvir = cv.shape[1]
+        # above OVVV_MAX_ELEMS the o*v^3 tensor dominates memory: run the
+        # ovvv-free update (update_amps_dfb) that contracts every ovvv
+        # term from Bov/Bvv instead (reference analog: blocked ovvv loops
+        # in pyscf/cc/ccsd.py:147-180 + dfccsd.py)
+        ovvv_free = nocc * nvir ** 3 > OVVV_MAX_ELEMS
+        Bov_pad = jnp.pad(Bov, ((0, pad), (0, 0), (0, 0)))
         return SimpleNamespace(
             oooo=jnp.einsum('xij,xkl->ijkl', Boo, Boo),
             ooov=jnp.einsum('xij,xka->ijka', Boo, Bov),
             oovv=jnp.einsum('xij,xab->ijab', Boo, Bvv),
             ovov=jnp.einsum('xia,xjb->iajb', Bov, Bov),
             ovvo=jnp.einsum('xia,xjb->iabj', Bov, Bov),
-            ovvv=jnp.einsum('xia,xbc->iabc', Bov, Bvv),
-            vvvv=None, Bvv=Bvv_c, **common)
+            ovvv=(None if ovvv_free
+                  else jnp.einsum('xia,xbc->iabc', Bov, Bvv)),
+            Bov=Bov_pad, vvvv=None, Bvv=Bvv_c, **common)
     eri_ao = mf._eri if mf._eri is not None else mol.intor('int2e')
     from .. import ao2mo
     eri = ao2mo.full(eri_ao, mo)
@@ -70,7 +79,7 @@ def _make_eris(mycc):
     return SimpleNamespace(
         oooo=eri[o, o, o, o], ooov=eri[o, o, o, v], oovv=eri[o, o, v, v],
         ovov=eri[o, v, o, v], ovvo=eri[o, v, v, o], ovvv=eri[o, v, v, v],
-        vvvv=eri[v, v, v, v], Bvv=None, **common)
+        vvvv=eri[v, v, v, v], Bvv=None, Bov=None, **common)
 
 
 @jax.jit
@@ -97,6 +106,150 @@ def _vvvv_tau_df(Bvv_c, tau):
     init = jnp.zeros_like(tau)
     out, _ = jax.lax.scan(body, init, Bvv_c)
     return out
+
+
+def _vvvv_tau_df_dressed(Bvv_c, Gc, tau):
+    """Ladder + the two tau.ovvv.t1 ring terms in ONE aux-chunk scan.
+
+    Reuses the (chunk, o, o, v, v) ladder intermediate tmp[x,i,j,a,d] =
+    sum_c Bvv[x,a,c] tau[ijcd'] for three contractions:
+      + sum_x Bvv[x,b,d] tmp          (bare Wvvvv.tau ladder)
+      - sum_x G[x,b,d]  tmp           (-(kd|ac) tau_ijcd t1_kb)
+      - sum_x G[x,a,c]  tmp[x,j,i,b,c]  (-(kc|bd) tau_ijcd t1_ka)
+    with G[x,b,d] = sum_k t1[k,b] Bov[x,k,d]. No o*v^3 tensor appears.
+    """
+
+    def body(acc, xs):
+        Bx, Gx = xs
+        tmp = jnp.einsum('xac,ijcd->xijad', Bx, tau)
+        acc = acc + jnp.einsum('xbd,xijad->ijab', Bx - Gx, tmp)
+        acc = acc - jnp.einsum('xac,xjibc->ijab', Gx, tmp)
+        return acc, None
+
+    init = jnp.zeros_like(tau)
+    out, _ = jax.lax.scan(body, init, (Bvv_c, Gc))
+    return out
+
+
+@jax.jit
+def update_amps_dfb(t1, t2, eris_tuple):
+    """One CCSD iteration with every ovvv contraction factorized through
+    the DF 3-index tensors: no nocc*nvir^3 tensor is ever materialized.
+
+    Identical amplitude equations to update_amps (Hirata Eqs. 35-45);
+    ovvv[k,d,a,c] == sum_x Bov[x,k,d] Bvv[x,a,c] is used to reassociate
+    each term so the largest intermediate is the aux-chunked ladder slab.
+    Reference analog: the blocked ovvv loops of pyscf/cc/ccsd.py:147-180.
+    """
+    (oooo, ooov, oovv, ovov, ovvo, Bov, Bvv_c, mo_energy) = eris_tuple
+    nocc = t1.shape[0]
+    nvir = t1.shape[1]
+    eo = mo_energy[:nocc]
+    ev = mo_energy[nocc:]
+    eia = eo[:, None] - ev[None, :]
+    Bvv = Bvv_c.reshape(-1, nvir, nvir)      # padded rows are zero
+
+    # --- kappa intermediates (identical to update_amps)
+    Foo = (2.0 * jnp.einsum('kcld,ilcd->ki', ovov, t2)
+           - jnp.einsum('kdlc,ilcd->ki', ovov, t2)
+           + 2.0 * jnp.einsum('kcld,ic,ld->ki', ovov, t1, t1)
+           - jnp.einsum('kdlc,ic,ld->ki', ovov, t1, t1))
+    Fvv = (-2.0 * jnp.einsum('kcld,klad->ac', ovov, t2)
+           + jnp.einsum('kdlc,klad->ac', ovov, t2)
+           - 2.0 * jnp.einsum('kcld,ka,ld->ac', ovov, t1, t1)
+           + jnp.einsum('kdlc,ka,ld->ac', ovov, t1, t1))
+    Fov = (2.0 * jnp.einsum('kcld,ld->kc', ovov, t1)
+           - jnp.einsum('kdlc,ld->kc', ovov, t1))
+
+    ovoo = ooov.transpose(2, 3, 0, 1)
+    Loo = Foo + (2.0 * jnp.einsum('lcki,lc->ki', ovoo, t1)
+                 - jnp.einsum('kcli,lc->ki', ovoo, t1))
+    # Lvv ovvv part: 2*(kd|ac) t1_kd - (kc|ad) t1_kd via B factors
+    s_aux = jnp.einsum('xkd,kd->x', Bov, t1)
+    lvv1 = jnp.einsum('x,xac->ac', s_aux, Bvv)
+    w_ak = jnp.einsum('xad,kd->xak', Bvv, t1)
+    lvv2 = jnp.einsum('xak,xkc->ac', w_ak, Bov)
+    lvv_t1 = 2.0 * lvv1 - lvv2
+    Lvv = Fvv + lvv_t1
+
+    # --- chi intermediates
+    Woooo = (jnp.einsum('lcki,jc->klij', ovoo, t1)
+             + jnp.einsum('kclj,ic->klij', ovoo, t1)
+             + jnp.einsum('kcld,ijcd->klij', ovov, t2)
+             + jnp.einsum('kcld,ic,jd->klij', ovov, t1, t1)
+             + oooo.transpose(0, 2, 1, 3))
+    # (kc|ad) t1_id -> akic
+    Bvt = jnp.einsum('xad,id->xai', Bvv, t1)
+    wvoov1 = jnp.einsum('xai,xkc->akic', Bvt, Bov)
+    Wvoov = (wvoov1
+             - jnp.einsum('kcli,la->akic', ovoo, t1)
+             + ovvo.transpose(2, 0, 3, 1)
+             - 0.5 * jnp.einsum('ldkc,ilda->akic', ovov, t2)
+             - 0.5 * jnp.einsum('lckd,ilad->akic', ovov, t2)
+             - jnp.einsum('ldkc,id,la->akic', ovov, t1, t1)
+             + jnp.einsum('ldkc,ilad->akic', ovov, t2))
+    # (kd|ac) t1_id -> akci
+    Bot = jnp.einsum('xkd,id->xki', Bov, t1)
+    wvovo1 = jnp.einsum('xki,xac->akci', Bot, Bvv)
+    Wvovo = (wvovo1
+             - jnp.einsum('lcki,la->akci', ovoo, t1)
+             + oovv.transpose(2, 0, 3, 1)
+             - 0.5 * jnp.einsum('lckd,ilda->akci', ovov, t2)
+             - jnp.einsum('lckd,id,la->akci', ovov, t1, t1))
+
+    # --- T1: ovvv.t2 terms via B factors
+    u1 = jnp.einsum('xkd,ikcd->xic', Bov, t2)
+    t1_o1 = jnp.einsum('xic,xac->ia', u1, Bvv)     # (kd|ac) t2_ikcd
+    u2 = jnp.einsum('xkc,ikcd->xid', Bov, t2)
+    t1_o2 = jnp.einsum('xid,xad->ia', u2, Bvv)     # (kc|ad) t2_ikcd
+    t1new = (jnp.einsum('ac,ic->ia', Fvv, t1)
+             - jnp.einsum('ki,ka->ia', Foo, t1)
+             + 2.0 * jnp.einsum('kc,kica->ia', Fov, t2)
+             - jnp.einsum('kc,ikca->ia', Fov, t2)
+             + jnp.einsum('kc,ic,ka->ia', Fov, t1, t1)
+             + 2.0 * jnp.einsum('kcai,kc->ia', ovvo, t1)
+             - jnp.einsum('kiac,kc->ia', oovv, t1)
+             + 2.0 * t1_o1 - t1_o2
+             + jnp.einsum('ac,ic->ia', lvv_t1, t1)
+             - 2.0 * jnp.einsum('kilc,klac->ia', ooov, t2)
+             + jnp.einsum('likc,klac->ia', ooov, t2)
+             - 2.0 * jnp.einsum('kilc,lc,ka->ia', ooov, t1, t1)
+             + jnp.einsum('likc,lc,ka->ia', ooov, t1, t1))
+
+    # --- T2
+    tau = t2 + jnp.einsum('ia,jb->ijab', t1, t1)
+    t2new = ovov.transpose(0, 2, 1, 3)
+    t2new = t2new + jnp.einsum('klij,klab->ijab', Woooo, tau)
+    # ladder + the two tau.ovvv.t1 terms in one dressed aux scan
+    G = jnp.einsum('xkd,kb->xbd', Bov, t1)
+    Gc = G.reshape(Bvv_c.shape)
+    t2new = t2new + _vvvv_tau_df_dressed(Bvv_c, Gc, tau)
+    tmp = jnp.einsum('ac,ijcb->ijab', Lvv, t2)
+    t2new = t2new + tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum('ki,kjab->ijab', Loo, t2)
+    t2new = t2new - tmp - tmp.transpose(1, 0, 3, 2)
+    tmp = (2.0 * jnp.einsum('akic,kjcb->ijab', Wvoov, t2)
+           - jnp.einsum('akci,kjcb->ijab', Wvovo, t2))
+    t2new = t2new + tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum('akic,kjbc->ijab', Wvoov, t2)
+    t2new = t2new - tmp - tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum('bkci,kjac->ijab', Wvovo, t2)
+    t2new = t2new - tmp - tmp.transpose(1, 0, 3, 2)
+    # (ia|cb) t1_jc  (tmp2 ovvv part) via B factors
+    w_jb = jnp.einsum('xcb,jc->xjb', Bvv, t1)
+    tmp = jnp.einsum('xia,xjb->ijab', Bov, w_jb)
+    tmp = tmp - jnp.einsum('kibc,ka,jc->abij', oovv, t1,
+                           t1).transpose(2, 3, 0, 1)
+    t2new = t2new + tmp + tmp.transpose(1, 0, 3, 2)
+    tmp2 = (ooov.transpose(3, 1, 2, 0)
+            + jnp.einsum('kcai,jc->akij', ovvo, t1))
+    tmp = jnp.einsum('akij,kb->ijab', tmp2, t1)
+    t2new = t2new - tmp - tmp.transpose(1, 0, 3, 2)
+
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t1new = t1new / eia
+    t2new = t2new / eijab
+    return t1new, t2new
 
 
 @jax.jit
@@ -265,13 +418,21 @@ class CCSD:
             t1 = jnp.asarray(t1_in)
             t2 = jnp.asarray(t2_in)
         log.info('MP2 initial guess E_corr = %.12f', emp2)
-        eris_tuple = (eris.oooo, eris.ooov, eris.oovv, eris.ovov, eris.ovvo,
-                      eris.ovvv, eris.vvvv, eris.Bvv, eris.mo_energy)
+        if eris.ovvv is None:
+            # ovvv-free DF path: every ovvv term via the 3-index factors
+            step = update_amps_dfb
+            eris_tuple = (eris.oooo, eris.ooov, eris.oovv, eris.ovov,
+                          eris.ovvo, eris.Bov, eris.Bvv, eris.mo_energy)
+        else:
+            step = update_amps
+            eris_tuple = (eris.oooo, eris.ooov, eris.oovv, eris.ovov,
+                          eris.ovvo, eris.ovvv, eris.vvvv, eris.Bvv,
+                          eris.mo_energy)
         diis = DIIS(self.diis_space)
         e_last = emp2
         conv = False
         for it in range(self.max_cycle):
-            t1new, t2new = update_amps(t1, t2, eris_tuple)
+            t1new, t2new = step(t1, t2, eris_tuple)
             normt = float(jnp.linalg.norm(t1new - t1)
                           + jnp.linalg.norm(t2new - t2))
             t1, t2 = diis.update(
@@ -317,9 +478,10 @@ class CCSD:
         t2 = chk.load(fn, 'ccsd/t2')
         return self.kernel(t1=jnp.asarray(t1), t2=jnp.asarray(t2))
 
-    def ccsd_t(self, t1=None, t2=None):
+    def ccsd_t(self, t1=None, t2=None, mesh=None):
         from .ccsd_t import kernel as t_kernel
-        return t_kernel(self, self._eris, t1 or self.t1, t2 or self.t2)
+        return t_kernel(self, self._eris, t1 or self.t1, t2 or self.t2,
+                        mesh=mesh)
 
     def ccsd(self, t1=None, t2=None):
         return self.kernel(t1, t2)

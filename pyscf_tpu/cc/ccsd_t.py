@@ -84,7 +84,47 @@ def _et_all(abc_blocks, mult_blocks, vvov, vooo, vvoo, t2T, t1T, eijk,
     return et
 
 
-def kernel(mycc, eris, t1=None, t2=None):
+def _et_sharded(mesh, abc_blocks, mult_blocks, vvov, vooo, vvoo, t2T, t1T,
+                eijk, e_vir):
+    """(T) with the (a,b,c) triple blocks sharded over a device mesh.
+
+    Replaces the reference's MPI-distributed triples loop
+    (pyscf/pbc/mpicc, lib/cc/ccsd_t.c OpenMP tiles): each device scans
+    its block shard with replicated integral tensors; the scalar partial
+    energies psum over ICI. Bitwise-identical contraction order to the
+    serial path within each block.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    nblk = abc_blocks.shape[0]
+    pad = -nblk % n
+    abc_blocks = jnp.pad(abc_blocks, ((0, pad), (0, 0), (0, 0)))
+    # padding blocks carry multiplicity 0 -> contribution-free
+    mult_blocks = jnp.pad(mult_blocks, ((0, pad), (0, 0)))
+
+    rep = (P(), P(), P(), P(), P(), P(), P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis)) + rep, out_specs=P())
+    def run(abc_b, mult_b, vvov, vooo, vvoo, t2T, t1T, eijk, e_vir):
+        def body(acc, xs):
+            abc, mult = xs
+            return acc + _et_batch(abc, mult, vvov, vooo, vvoo, t2T,
+                                   t1T, eijk, e_vir), None
+        init = jnp.zeros((), t2T.dtype)
+        # the xs shards vary over the mesh axis, so the carry must be
+        # marked device-varying too (shard_map VMA typing)
+        init = jax.lax.pvary(init, (axis,))
+        et, _ = jax.lax.scan(body, init, (abc_b, mult_b))
+        return jax.lax.psum(et, axis)
+
+    return run(abc_blocks, mult_blocks, vvov, vooo, vvoo, t2T, t1T,
+               eijk, e_vir)
+
+
+def kernel(mycc, eris, t1=None, t2=None, mesh=None):
     t1 = t1 if t1 is not None else mycc.t1
     t2 = t2 if t2 is not None else mycc.t2
     nocc = t1.shape[0]
@@ -120,7 +160,13 @@ def kernel(mycc, eris, t1=None, t2=None):
     mult_inv = np.pad(mult, (0, pad))
     abc_blocks = jnp.asarray(abc.reshape(nblk, TRIPLE_BLK, 3))
     mult_blocks = jnp.asarray(mult_inv.reshape(nblk, TRIPLE_BLK))
-    et = float(_et_all(abc_blocks, mult_blocks, vvov, vooo, vvoo, t2T, t1T,
-                       eijk, jnp.asarray(e_vir)))
+    if mesh is None:
+        mesh = getattr(mycc, 'mesh', None)
+    if mesh is not None:
+        et = float(_et_sharded(mesh, abc_blocks, mult_blocks, vvov, vooo,
+                               vvoo, t2T, t1T, eijk, jnp.asarray(e_vir)))
+    else:
+        et = float(_et_all(abc_blocks, mult_blocks, vvov, vooo, vvoo, t2T,
+                           t1T, eijk, jnp.asarray(e_vir)))
     et *= 2.0
     return et

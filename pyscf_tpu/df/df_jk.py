@@ -83,24 +83,29 @@ DF_CHUNK_ELEMS = 2.0e8        # activation: stream when B has more elements
 DF_CHUNK_BUDGET = 2.5e7       # per-chunk element budget (chunk*nao*nao)
 
 
-def chunk_cderi(B, chunk=None):
-    """(naux, nao, nao) -> (nchunk, chunk, nao, nao), zero-padded."""
+def jk_chunked(B, dm, co=None, chunk=None):
+    """(vj, vk) streaming aux slices of the UNCOPIED B via dynamic_slice.
+
+    Bounds XLA's peak HBM to (chunk, nao, nao) temporaries without the
+    round-4 padded-chunk copy of B (which doubled resident memory at
+    nao=580 and crashed the TPU worker). co=None uses the density form.
+    """
     naux, nao = B.shape[0], B.shape[1]
+    dt = dm.dtype
     if chunk is None:
         chunk = max(8, int(DF_CHUNK_BUDGET / (nao * nao)))
         chunk = min(chunk, naux)
-    pad = -naux % chunk
-    Bc = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
-    return Bc.reshape((naux + pad) // chunk, chunk, nao, nao)
+    nsteps = -(-naux // chunk)
 
-
-def jk_chunked(Bc, dm, co=None):
-    """(vj, vk) by streaming aux chunks; co=None uses the density form."""
-    nao = dm.shape[-1]
-    dt = dm.dtype
-
-    def body(carry, Bx):
+    def body(i, carry):
         vj, vk = carry
+        off = i * chunk
+        start = jnp.minimum(off, naux - chunk)
+        Bx = jax.lax.dynamic_slice_in_dim(B, start, chunk, axis=0)
+        # the final slice is clamped in-bounds; zero out rows that the
+        # previous step already accumulated
+        mask = (start + jnp.arange(chunk)) >= off
+        Bx = Bx * mask[:, None, None].astype(dt)
         rho = jnp.einsum('pkl,lk->p', Bx, dm)
         vj = vj + jnp.einsum('p,pij->ij', rho, Bx)
         if co is None:
@@ -109,8 +114,7 @@ def jk_chunked(Bc, dm, co=None):
         else:
             Bo = jnp.einsum('pij,jo->pio', Bx, co)
             vk = vk + jnp.einsum('pio,pjo->ij', Bo, Bo)
-        return (vj, vk), None
+        return (vj, vk)
 
     init = (jnp.zeros((nao, nao), dt), jnp.zeros((nao, nao), dt))
-    (vj, vk), _ = jax.lax.scan(body, init, Bc)
-    return vj, vk
+    return jax.lax.fori_loop(0, nsteps, body, init)

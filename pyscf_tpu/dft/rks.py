@@ -122,12 +122,12 @@ class RKS(KohnShamDFT, RHF):
                    data['aod'].shape, mesh.devices.size)
             return key, veff_fn, data, veff_dm_fn
         if self.with_df is not None:
-            from ..df.df_jk import DF_CHUNK_ELEMS, chunk_cderi, jk_chunked
+            from ..df.df_jk import DF_CHUNK_ELEMS, jk_chunked
             if self.with_df.cderi.size > DF_CHUNK_ELEMS:
-                # large system: stream aux chunks (bounds XLA HBM temps)
-                data['B'] = chunk_cderi(self.with_df.cderi)
+                # large system: stream aux slices of the uncopied B
+                data['B'] = self.with_df.cderi
                 if omega:
-                    data['Blr'] = chunk_cderi(self._df_lr(omega).cderi)
+                    data['Blr'] = self._df_lr(omega).cderi
 
                 def _veff_c(data, dm, co):
                     _, exc, vxc = core(data['aod'], data['weights'], dm)

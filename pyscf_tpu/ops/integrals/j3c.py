@@ -34,7 +34,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..device import integral_compute
 from .cart2sph import cart2sph
 from .hermite import e3d, n_tuv, hermite_R
 from .int2e import _comb_onehot3, pair_screen_bound, SCREEN_THRESH
@@ -345,39 +344,44 @@ def df_factor(mol, auxmol, omega=None):
 
     (ij|kl) ~= sum_P B[P,i,j] B[P,k,l]. Runs as ~(n_bra_classes + 3)
     compiled programs; peak device memory ~= 1.5x B + bounded temporaries.
+
+    Unlike the legacy host-assembled integral paths, this engine runs on
+    the DEFAULT backend by design: generation, whitening and consumption
+    all stay in accelerator memory (the TPU tunnel moves ~25 MB/s, so a
+    host-built B tensor would take minutes to ship; the 1-core host CPU
+    took 1122 s to build a 580-AO factor in round 4).
     """
     nao, naux = mol.nao, auxmol.nao
     bra = _bra_classes(mol)
     meta, raw = _aux_meta(auxmol)
-    with integral_compute():
-        aux_data = _aux_prep(meta, tuple(
-            (jnp.asarray(e), jnp.asarray(c), jnp.asarray(r))
-            for (e, c, r) in raw))
-        _, linv_t = _j2c_whitener(meta, aux_data, rs_omega=omega)
-        pieces = []
-        row_ids = []        # (host) flat AO row ids per piece row
-        for (la, lb), bc in bra.items():
-            if bc.nsel == 0:
-                continue
-            npc, tiles = _class_tiles(bc, meta)
-            (ea, ca, ra, eb, cb, rb), nchunk = bc.chunk_arrays(npc)
-            ys = _class_program(
-                la, lb, meta, tiles,
-                jnp.asarray(ea), jnp.asarray(ca), jnp.asarray(ra),
-                jnp.asarray(eb), jnp.asarray(cb), jnp.asarray(rb),
-                aux_data, linv_t, rs_omega=omega)
-            pieces.append(ys)
-            row_ids.append(_row_maps(mol, bc, nchunk * npc))
-        nrows = sum(p.shape[0] for p in pieces)
-        row_map = np.full(nao * nao, nrows, dtype=np.int64)
-        off = 0
-        for (rows_ij, rows_ji, rowpos), piece in zip(row_ids, pieces):
-            row_map[rows_ij] = off + rowpos
-            row_map[rows_ji] = off + rowpos       # (ij|P) == (ji|P)
-            off += piece.shape[0]
-        order, _ = _grouped_order(auxmol, meta)
-        B = _assemble(tuple(pieces), jnp.asarray(row_map, dtype=jnp.int32),
-                      jnp.asarray(np.argsort(order), dtype=jnp.int32))
+    aux_data = _aux_prep(meta, tuple(
+        (jnp.asarray(e), jnp.asarray(c), jnp.asarray(r))
+        for (e, c, r) in raw))
+    _, linv_t = _j2c_whitener(meta, aux_data, rs_omega=omega)
+    pieces = []
+    row_ids = []        # (host) flat AO row ids per piece row
+    for (la, lb), bc in bra.items():
+        if bc.nsel == 0:
+            continue
+        npc, tiles = _class_tiles(bc, meta)
+        (ea, ca, ra, eb, cb, rb), nchunk = bc.chunk_arrays(npc)
+        ys = _class_program(
+            la, lb, meta, tiles,
+            jnp.asarray(ea), jnp.asarray(ca), jnp.asarray(ra),
+            jnp.asarray(eb), jnp.asarray(cb), jnp.asarray(rb),
+            aux_data, linv_t, rs_omega=omega)
+        pieces.append(ys)
+        row_ids.append(_row_maps(mol, bc, nchunk * npc))
+    nrows = sum(p.shape[0] for p in pieces)
+    row_map = np.full(nao * nao, nrows, dtype=np.int64)
+    off = 0
+    for (rows_ij, rows_ji, rowpos), piece in zip(row_ids, pieces):
+        row_map[rows_ij] = off + rowpos
+        row_map[rows_ji] = off + rowpos       # (ij|P) == (ji|P)
+        off += piece.shape[0]
+    order, _ = _grouped_order(auxmol, meta)
+    B = _assemble(tuple(pieces), jnp.asarray(row_map, dtype=jnp.int32),
+                  jnp.asarray(np.argsort(order), dtype=jnp.int32))
     return B
 
 

@@ -550,11 +550,10 @@ class RHF(SCF):
                 key = ('rhf-df-mesh', B.shape, mesh.devices.size)
                 return key, veff_fn, {'B': B}, veff_dm_fn
 
-            from ..df.df_jk import DF_CHUNK_ELEMS, chunk_cderi, jk_chunked
+            from ..df.df_jk import DF_CHUNK_ELEMS, jk_chunked
             if B.size > DF_CHUNK_ELEMS:
-                # large system: stream aux chunks (bounds XLA HBM temps)
-                Bc = chunk_cderi(B)
-
+                # large system: stream aux slices of the uncopied B
+                # (bounds XLA HBM temps without doubling resident memory)
                 def veff_fn(data, dm, co):
                     vj, vk = jk_chunked(data['B'], dm, co)
                     vhf = vj - 0.5 * vk
@@ -565,8 +564,8 @@ class RHF(SCF):
                     vhf = vj - 0.5 * vk
                     return vhf, 0.5 * jnp.sum(vhf * dm)
 
-                return (('rhf-df-chunked', Bc.shape), veff_fn,
-                        {'B': Bc}, veff_dm_fn)
+                return (('rhf-df-chunked', B.shape), veff_fn,
+                        {'B': B}, veff_dm_fn)
 
             def veff_fn(data, dm, co):
                 B = data['B']

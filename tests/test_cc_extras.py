@@ -236,3 +236,28 @@ def test_ccsd_chkfile_resume(tmp_path):
     cc3 = CCSD(mf)
     cc3.kernel()
     assert abs(ec - cc3.e_corr) < 1e-7
+
+
+def test_ccsd_ovvv_free_matches_standard():
+    """The ovvv-free DF update (update_amps_dfb) must match the standard
+    DF-CCSD to machine precision (same equations, reassociated)."""
+    import pyscf_tpu as pt
+    from pyscf_tpu.cc import ccsd as ccmod
+    mol = pt.M(atom='O 0 0 0; H 0 -0.757 0.587; H 0 0.757 0.587',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF().density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cc1 = mf.CCSD()
+    cc1.conv_tol = 1e-10
+    cc1.kernel()
+    old = ccmod.OVVV_MAX_ELEMS
+    try:
+        ccmod.OVVV_MAX_ELEMS = 1          # force the ovvv-free path
+        cc2 = mf.CCSD()
+        cc2.conv_tol = 1e-10
+        cc2.kernel()
+    finally:
+        ccmod.OVVV_MAX_ELEMS = old
+    assert cc2._eris.ovvv is None
+    assert abs(float(cc1.e_corr) - float(cc2.e_corr)) < 1e-10

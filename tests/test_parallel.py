@@ -123,3 +123,19 @@ def test_production_rhf_df_on_mesh(setup):
     e8 = mf8.kernel()
     assert mf8.converged
     assert abs(e8 - e0) < 1e-10
+
+
+def test_sharded_ccsd_t():
+    """(T) with triple blocks sharded over 8 devices == serial (1e-12)."""
+    mol = pt.M(atom='Be 0 0 0; H 0 0 1.291; H 0 0 -1.291',
+               basis='sto-3g', verbose=0)
+    mf = mol.RHF()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cc = mf.CCSD()
+    cc.conv_tol = 1e-10
+    cc.kernel()
+    et_serial = cc.ccsd_t()
+    mesh = default_mesh(8, axis='trip')
+    et_sharded = cc.ccsd_t(mesh=mesh)
+    assert abs(et_serial - et_sharded) < 1e-12, (et_serial, et_sharded)
