@@ -34,7 +34,8 @@ def ft_pair_chunk(la, lb, a, b, A, B, w, Gv):
     G2 = jnp.einsum('gx,gx->g', Gv, Gv)
     damp = jnp.exp(-G2[None, :] / (4.0 * p[:, None]))    # (C, nG)
     phase = jnp.exp(-1j * (P @ Gv.T))                    # (C, nG)
-    pref = (w * (jnp.pi / p) ** 1.5)[:, None] * damp * phase
+    _q = jnp.pi / p
+    pref = (w * _q * jnp.sqrt(_q))[:, None] * damp * phase
     tuvs = np.array(tuv_components(la + lb), dtype=np.int64)
     # (-iG)^tuv for every Hermite component: (ntuv, nG)
     miG = -1j * Gv                                        # (nG, 3)
@@ -144,7 +145,8 @@ def _ft_pair_noreduce(la, lb, a, b, A, B, w, Gv):
     G2 = jnp.einsum('gx,gx->g', Gv, Gv)
     damp = jnp.exp(-G2[None, :] / (4.0 * p[:, None]))
     phase = jnp.exp(-1j * (P @ Gv.T))
-    pref = (w * (jnp.pi / p) ** 1.5)[:, None] * damp * phase   # (C, nG)
+    _q = jnp.pi / p
+    pref = (w * _q * jnp.sqrt(_q))[:, None] * damp * phase   # (C, nG)
     tuvs = np.array(tuv_components(la + lb), dtype=np.int64)
     miG = -1j * Gv
     gpow = (miG[None, :, 0] ** tuvs[:, 0:1]
@@ -167,7 +169,8 @@ def _ft_single_chunk(l, a, A, w, Gv):
     G2 = jnp.einsum('gx,gx->g', Gv, Gv)
     damp = jnp.exp(-G2[None, :] / (4.0 * a[:, None]))
     phase = jnp.exp(-1j * (A @ Gv.T))
-    pref = (w * (jnp.pi / a) ** 1.5)[:, None] * damp * phase   # (C, nG)
+    _q = jnp.pi / a
+    pref = (w * _q * jnp.sqrt(_q))[:, None] * damp * phase   # (C, nG)
     tuvs = np.array(tuv_components(l), dtype=np.int64)
     miG = -1j * Gv
     gpow = (miG[None, :, 0] ** tuvs[:, 0:1]

@@ -37,7 +37,11 @@ def ovlp_chunk(la, lb, a, b, A, B, w):
     """Overlap for a chunk of primitive pairs: (C, ncart_a, ncart_b)."""
     p = a + b
     E = _dense_e(la, lb, a, b, A, B)
-    ww = w * (jnp.pi / p) ** 1.5
+    q = jnp.pi / p
+    # q * sqrt(q), NOT q**1.5: this host's XLA:CPU lowers f64 pow at
+    # small static shapes through an f32-accurate path (measured 3.9e-8
+    # relative error at shape (1,)); sqrt is correctly rounded everywhere
+    ww = w * q * jnp.sqrt(q)
     ia, jb = _cart_idx(la, lb)
     v = (E[0][..., ia[:, None, 0], jb[None, :, 0], 0]
          * E[1][..., ia[:, None, 1], jb[None, :, 1], 0]

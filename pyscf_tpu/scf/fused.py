@@ -100,8 +100,9 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
     """
 
     def eigh_gen(f, x):
+        from ..lib.linalg import eigh as _eigh
         fp = x.T @ f @ x
-        e, cp = jnp.linalg.eigh(fp)
+        e, cp = _eigh(fp)
         return e, x @ cp
 
     def stage(veff_data, h1e, s1e, x, co0, conv_tol, conv_tol_grad,
@@ -218,8 +219,9 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
     """
 
     def eigh_gen(f, x):
+        from ..lib.linalg import eigh as _eigh
         fp = x.T @ f @ x
-        e, cp = jnp.linalg.eigh(fp)
+        e, cp = _eigh(fp)
         return e, x @ cp
 
     def make_fock_and_energy(veff_data, h1e, s1e):
@@ -319,6 +321,68 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
                 dm)
 
     return program
+
+
+def build_restricted_cycle(nocc, diis_space, veff_fn, veff_dm_fn=None):
+    """Single-cycle programs for the staged (host-driven) large-system SCF.
+
+    The fused whole-loop program's executable grows with nao and at
+    ~580 AO its load crashes the TPU worker; here each cycle is ONE
+    modest compiled program (identical math: veff -> DIIS ring buffer ->
+    extrapolated Fock -> generalized eigh -> new occupied factor), and
+    the host drives convergence. Returns (seed, cycle, finalize).
+    """
+
+    def eigh_gen(f, x):
+        from ..lib.linalg import eigh as _eigh
+        fp = x.T @ f @ x
+        e, cp = _eigh(fp)
+        return e, x @ cp
+
+    @jax.jit
+    def seed(veff_data, h1e, x, dm0):
+        """Occupied factor from diagonalizing F(guess density)."""
+        if veff_dm_fn is not None:
+            vhf0, _ = veff_dm_fn(veff_data, dm0)
+            _, moc0 = eigh_gen(h1e + vhf0, x)
+            co0 = moc0[:, :nocc] * jnp.sqrt(jnp.asarray(2.0, h1e.dtype))
+        else:
+            w0, u0 = jnp.linalg.eigh(dm0)
+            co0 = (u0[:, ::-1][:, :nocc]
+                   * jnp.sqrt(jnp.maximum(w0[::-1][:nocc], 0.0))[None, :])
+        return co0
+
+    @jax.jit
+    def cycle(veff_data, h1e, s1e, x, co, fh, eh, cyc):
+        dt = h1e.dtype
+        dm = co @ co.T
+        vhf, e2 = veff_fn(veff_data, dm, co)
+        f = h1e + vhf
+        e_elec = jnp.sum(h1e * dm) + e2
+        sdf = s1e @ dm @ f
+        err = sdf.T - sdf
+        idx = jnp.mod(cyc, diis_space)
+        fh = fh.at[idx].set(f)
+        eh = eh.at[idx].set(err)
+        f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, diis_space))
+        _, moc = eigh_gen(f_d, x)
+        co_n = moc[:, :nocc] * jnp.sqrt(jnp.asarray(2.0, dt))
+        gnorm = jnp.linalg.norm(x.T @ err @ x)
+        return co_n, fh, eh, e_elec, gnorm
+
+    @jax.jit
+    def finalize(veff_data, h1e, x, co):
+        """Canonical orbitals of the true converged Fock + final energy."""
+        dm = co @ co.T
+        vhf, _ = veff_fn(veff_data, dm, co)
+        moe, moc = eigh_gen(h1e + vhf, x)
+        co2 = moc[:, :nocc] * jnp.sqrt(jnp.asarray(2.0, h1e.dtype))
+        dm2 = co2 @ co2.T
+        vhf2, e22 = veff_fn(veff_data, dm2, co2)
+        e_elec = jnp.sum(h1e * dm2) + e22
+        return e_elec, moe, moc, dm2
+
+    return seed, cycle, finalize
 
 
 def get_program(mol, key, builder):

@@ -8,11 +8,17 @@ on host. The J/K build is dense MXU work: in-core ERI einsums
 (reference df/df_jk.py) — integral-direct Schwarz screening is replaced by
 the DF-first design (SURVEY §7.5).
 """
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# above this nao the one-dispatch fused SCF program is replaced by the
+# staged host-driven loop (_kernel_staged): the monolithic executable's
+# load crashes the TPU worker at ~580 AO
+FUSED_MAX_NAO = int(os.environ.get('PYSCF_TPU_FUSED_MAX_NAO', '400'))
 
 from .. import __config__
 from ..lib import parameters as param
@@ -22,14 +28,17 @@ from ..lib.linalg import canonical_orth, eigh_gen
 
 
 def get_hcore(mol):
-    h = mol.intor('int1e_kin') + mol.intor('int1e_nuc')
+    from ..ops.integrals.j1e import hcore_parts
+    stv = hcore_parts(mol)     # device-resident screened S/T/V
+    h = stv[1] + stv[2]
     if mol.has_ecp:
         h = h + mol.intor('ECPscalar')
     return h
 
 
 def get_ovlp(mol):
-    return mol.intor('int1e_ovlp')
+    from ..ops.integrals.j1e import hcore_parts
+    return hcore_parts(mol)[0]
 
 
 @jax.jit
@@ -340,6 +349,97 @@ class SCF:
                  state, int(ncyc), self.e_tot, time.time() - t_start)
         return self.e_tot
 
+    def _kernel_staged(self, dm0=None, _veff_res=None):
+        """Host-driven mixed-precision SCF for large systems.
+
+        Same cycle math as the fused program, but each cycle is one
+        modest compiled dispatch: at nao >~ 500 the fused whole-loop
+        executable crashes the TPU worker on load (round-4 (H2O)10
+        failure), while per-cycle programs run fine. An f32 stage takes
+        the density most of the way, then f64 cycles converge to
+        conv_tol (measured at 580 AO: 0.7 s/f32 cycle, 3 s/f64 cycle).
+        """
+        from .fused import build_restricted_cycle, get_program
+        mol = self.mol
+        log = logger.new_logger(self)
+        t_start = time.time()
+        conv_tol_grad = (np.sqrt(self.conv_tol)
+                         if self.conv_tol_grad is None else self.conv_tol_grad)
+        s1e = jnp.asarray(self.get_ovlp(mol))
+        h1e = jnp.asarray(self.get_hcore(mol))
+        self._orth = canonical_orth(s1e, self.lindep_thresh)
+        log.timer('1e integrals + orthogonalizer')
+        dm = jnp.asarray(dm0) if dm0 is not None else self.get_init_guess(mol)
+        log.timer('initial guess')
+        res = self._fused_veff() if _veff_res is None else _veff_res
+        kind, veff_fn, veff_data = res[:3]
+        veff_dm_fn = res[3] if len(res) > 3 else None
+        log.timer('veff data (DF factor)')
+        nocc = mol.nelectron // 2
+        key = ('staged', kind, mol.nao, nocc, self.diis_space)
+        seed, cycle, finalize = get_program(
+            mol, key, lambda: build_restricted_cycle(
+                nocc, self.diis_space, veff_fn, veff_dm_fn))
+        nao = mol.nao
+        space = self.diis_space
+
+        def run_stage(dt, co, veff_d, h1, s1, x, tol_e, tol_g, maxc, log_tag):
+            fh = jnp.zeros((space, nao, nao), dt)
+            eh = jnp.zeros((space, nao, nao), dt)
+            e_last = 0.0
+            conv = False
+            for cyc in range(maxc):
+                co, fh, eh, e_elec, gnorm = cycle(
+                    veff_d, h1, s1, x, co, fh, eh, jnp.int32(cyc))
+                e_elec, gnorm = map(float, np.asarray(
+                    jnp.stack([e_elec.astype(jnp.float64),
+                               gnorm.astype(jnp.float64)])))
+                de = abs(e_elec - e_last)
+                e_last = e_elec
+                log.info('%s cycle= %d E_elec= %.12g delta_E= %.3g |g|= %.3g',
+                         log_tag, cyc + 1, e_elec, de, gnorm)
+                log.timer('%s cycle= %d' % (log_tag, cyc + 1))
+                if de < tol_e and gnorm < tol_g:
+                    conv = True
+                    break
+            return co, conv, cyc + 1
+
+        mixed = getattr(self, 'fused_mixed_precision', True)
+        co = seed(veff_data, h1e, self._orth, dm)
+        ncyc = 0
+        if mixed:
+            f32 = jnp.float32
+            from .fused import _cast_tree, _F32_GNORM, _F32_MAX_CYCLE
+            d32 = _cast_tree(veff_data, f32)
+            with jax.default_matmul_precision('highest'):
+                co32, _, n32 = run_stage(
+                    f32, co.astype(f32), d32, h1e.astype(f32),
+                    s1e.astype(f32), self._orth.astype(f32),
+                    1e-2, max(np.sqrt(self.conv_tol), _F32_GNORM),
+                    _F32_MAX_CYCLE, 'f32')
+            ok32 = bool(np.isfinite(np.asarray(co32)).all())
+            if ok32:
+                co = co32.astype(h1e.dtype)
+                ncyc += n32
+            del d32, co32
+        co, conv, n64 = run_stage(
+            h1e.dtype, co, veff_data, h1e, s1e, self._orth,
+            self.conv_tol, conv_tol_grad, self.max_cycle, 'f64')
+        ncyc += n64
+        e_elec, moe, moc, dm = finalize(veff_data, h1e, self._orth, co)
+        self.converged = conv
+        self.scf_cycles = ncyc
+        self.e_tot = float(e_elec) + self.energy_nuc()
+        self.mo_energy = moe
+        self.mo_coeff = moc
+        self.mo_occ = self.get_occ(moe, moc)
+        self._stash_occ_orbitals(moc, self.mo_occ)
+        self.dump_chk()
+        state = 'converged' if conv else 'NOT converged'
+        log.note('SCF %s in %d cycles (staged). E= %.14f (%.1fs)',
+                 state, ncyc, self.e_tot, time.time() - t_start)
+        return self.e_tot
+
     # ---------------- driver ------------------------------------------
     def kernel(self, dm0=None, **kwargs):
         # verbose >= DEBUG falls back to the host loop (per-cycle prints);
@@ -347,6 +447,9 @@ class SCF:
         if self._fused_ok() and self.verbose < param.VERBOSE_DEBUG:
             res = self._fused_veff()
             if res is not None:
+                if (self._fused_kind == 'restricted'
+                        and self.mol.nao > FUSED_MAX_NAO):
+                    return self._kernel_staged(dm0, _veff_res=res)
                 return self._kernel_fused(dm0, _veff_res=res)
         mol = self.mol
         log = logger.new_logger(self)
