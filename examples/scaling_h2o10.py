@@ -25,7 +25,7 @@ for (x, y, z) in waters:
     atoms.append(('O', (x, y, z)))
     atoms.append(('H', (x+0.7571, y, z+0.5861)))
     atoms.append(('H', (x-0.7571, y, z+0.5861)))
-mol = pt.M(atom=atoms, basis='cc-pvtz', verbose=0)
+mol = pt.M(atom=atoms, basis='cc-pvtz', verbose=4)
 print(f'{time.time()-T0:7.1f}s mol built: nao={mol.nao} natm={mol.natm}', flush=True)
 mf = pt.scf.RHF(mol).density_fit()
 mf.conv_tol = 1e-8

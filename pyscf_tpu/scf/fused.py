@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _diis_extrapolate(fh, eh, nval):
+def _diis_extrapolate(fh, eh, nval, newest=None):
     """DIIS solve over a (space, n, n) ring buffer with nval valid slots.
 
     Minimizes |sum_i c_i err_i| s.t. sum c_i = 1 (Pulay; reference
@@ -30,6 +30,13 @@ def _diis_extrapolate(fh, eh, nval):
     ef = eh.reshape(space, -1)
     G = ef @ ef.T
     valid = jnp.arange(space) < nval
+    # drop stale slots whose error norm dwarfs the current best: keeping
+    # a 1e-1-norm early vector next to 1e-6-norm converged ones makes G
+    # condition ~1e10 and the extrapolation erratic (observed as periodic
+    # energy blow-ups at (H2O)10 while |g| sat at 1e-5)
+    norms2 = jnp.diagonal(G)
+    best = jnp.min(jnp.where(valid, norms2, jnp.inf))
+    valid = valid & (norms2 < 1e8 * jnp.maximum(best, 1e-300))
     vv = valid[:, None] & valid[None, :]
     eye = jnp.eye(space, dtype=G.dtype)
     G = jnp.where(vv, G, eye)
@@ -45,11 +52,23 @@ def _diis_extrapolate(fh, eh, nval):
     H = H.at[:space, space].set(cvec)
     H = H.at[space, :space].set(cvec)
     rhs = jnp.zeros(space + 1, dtype=G.dtype).at[space].set(-1.0)
-    w, v = jnp.linalg.eigh(H)
-    thr = 50.0 * jnp.finfo(G.dtype).eps    # ~1e-14 f64 / ~6e-6 f32
+    from ..lib.linalg import eigh as _eigh_r
+    w, v = _eigh_r(H)
+    # pseudo-inverse cutoff: near convergence the error vectors become
+    # collinear and G nearly singular; keeping ~1e-14-relative modes
+    # amplifies noise into wild extrapolations (observed at (H2O)10:
+    # periodic 0.1-Ha energy spikes at |g|=1e-5). 1e-10 relative (1e-5
+    # in the f32 pre-stage) keeps the acceleration and kills the spikes.
+    thr = 1e-10 if G.dtype == jnp.float64 else 1e-5
     winv = jnp.where(jnp.abs(w) > thr * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
     c = v @ (winv * (v.T @ rhs))
     c = jnp.where(valid, c[:space] / scale, 0.0)
+    # sanity fallback: a pathological solve (|c| huge) means the subspace
+    # is numerically degenerate -> take the newest Fock instead
+    bad = jnp.max(jnp.abs(c)) > 20.0
+    latest = (nval - 1) % space if newest is None else newest
+    c_safe = jnp.zeros(space, dtype=G.dtype).at[latest].set(1.0)
+    c = jnp.where(bad, c_safe, c)
     return jnp.tensordot(c, fh, axes=(0, 0))
 
 
@@ -125,7 +144,8 @@ def build_restricted_program(nocc, diis_space, veff_fn, veff_dm_fn=None,
             fh = fh.at[idx].set(f)
             eh = eh.at[idx].set(err)
             f_d = _diis_extrapolate(fh, eh,
-                                    jnp.minimum(cyc - cyc0 + 1, space))
+                                    jnp.minimum(cyc - cyc0 + 1, space),
+                                    newest=idx)
             _, moc_n = eigh_gen(f_d, x)
             co_n = moc_n[:, :nocc] * occ_scale
             gnorm = jnp.linalg.norm(x.T @ err @ x)
@@ -253,7 +273,8 @@ def build_unrestricted_program(na, nb, diis_space, veff_fn,
             fh = fh.at[idx].set(f)
             eh = eh.at[idx].set(err)
             f_d = _diis_extrapolate(fh, eh,
-                                    jnp.minimum(cyc - cyc0 + 1, space))
+                                    jnp.minimum(cyc - cyc0 + 1, space),
+                                    newest=idx)
             _, ca = eigh_gen(f_d[0], x)
             _, cb = eigh_gen(f_d[1], x)
             coa_n = ca[:, :na]
@@ -364,7 +385,8 @@ def build_restricted_cycle(nocc, diis_space, veff_fn, veff_dm_fn=None):
         idx = jnp.mod(cyc, diis_space)
         fh = fh.at[idx].set(f)
         eh = eh.at[idx].set(err)
-        f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, diis_space))
+        f_d = _diis_extrapolate(fh, eh, jnp.minimum(cyc + 1, diis_space),
+                                newest=idx)
         _, moc = eigh_gen(f_d, x)
         co_n = moc[:, :nocc] * jnp.sqrt(jnp.asarray(2.0, dt))
         gnorm = jnp.linalg.norm(x.T @ err @ x)

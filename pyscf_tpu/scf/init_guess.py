@@ -44,7 +44,8 @@ def init_guess_by_minao(mol):
     for ia, symb in enumerate(mol.elements_):
         occ.append(_minao_occupancy(symb, int(mol.charges[ia])))
     occ = np.concatenate(occ)
-    s = np.asarray(mol.intor('int1e_ovlp'))
+    from ..ops.integrals.j1e import hcore_parts
+    s = np.asarray(hcore_parts(mol)[0])   # device-resident screened S
     s_cross = np.asarray(int1e_ovlp_cross(mol, minao_mol))
     p = np.linalg.solve(s, s_cross)              # (nao, nao_minao)
     dm = (p * occ[None, :]) @ p.T
