@@ -16,6 +16,21 @@ def intor(mol, name, **kwargs):
     if name == 'int1e_r':
         return int1e.int1e_r(mol)
     if name == 'int2e':
+        import os
+        import jax
+        mode = os.environ.get('PYSCF_TPU_INT2E')
+        try:
+            accel = jax.default_backend() != 'cpu'
+        except RuntimeError:
+            accel = False
+        # v2 (ops/integrals/j2e.py): screened, sph-folded, device-resident.
+        # Default on accelerators (host generation is 30+ min at
+        # N2/cc-pVQZ); the legacy host engine stays the CPU default
+        # because the merged class-pair programs cost ~25 min of XLA:CPU
+        # compile on this 1-core host vs ~40 s of legacy execution.
+        if mode == 'v2' or (accel and mode != 'legacy'):
+            from . import j2e
+            return j2e.int2e_dense(mol)
         from . import int2e
         return int2e.int2e(mol)
     if name == 'int2c2e':

@@ -44,28 +44,26 @@ def _diis_extrapolate(fh, eh, nval, newest=None):
     scale = jnp.sqrt(jnp.maximum(jnp.diagonal(G), jnp.finfo(G.dtype).tiny))
     scale = jnp.where(valid, scale, 1.0)
     G = G / (scale[:, None] * scale[None, :])
-    H = jnp.zeros((space + 1, space + 1), dtype=G.dtype)
-    H = H.at[:space, :space].set(G)
-    # we solve for d_i = c_i * scale_i, so the sum-to-one constraint row
-    # carries the inverse scales: sum_i d_i / scale_i = 1
-    cvec = jnp.where(valid, -1.0 / scale, 0.0)
-    H = H.at[:space, space].set(cvec)
-    H = H.at[space, :space].set(cvec)
-    rhs = jnp.zeros(space + 1, dtype=G.dtype).at[space].set(-1.0)
+    # eliminate the sum-to-one constraint analytically: the stationary
+    # point of |sum c_i e_i|^2 with sum c = 1 is c ∝ G^{-1} 1. This keeps
+    # the eigenproblem on the unit-diagonal G alone - the classical
+    # bordered (space+1) system mixes O(1/||err||) constraint rows with
+    # O(||err||^2) G modes and NO eigh threshold is right for both
+    # (measured: benzene DIIS stalled at |g|=5e-5 or spiked, depending
+    # on the cutoff; this form converges like the exact solve).
     from ..lib.linalg import eigh as _eigh_r
-    w, v = _eigh_r(H)
-    # pseudo-inverse cutoff: near convergence the error vectors become
-    # collinear and G nearly singular; keeping ~1e-14-relative modes
-    # amplifies noise into wild extrapolations (observed at (H2O)10:
-    # periodic 0.1-Ha energy spikes at |g|=1e-5). 1e-10 relative (1e-5
-    # in the f32 pre-stage) keeps the acceleration and kills the spikes.
-    thr = 1e-10 if G.dtype == jnp.float64 else 1e-5
-    winv = jnp.where(jnp.abs(w) > thr * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
-    c = v @ (winv * (v.T @ rhs))
-    c = jnp.where(valid, c[:space] / scale, 0.0)
-    # sanity fallback: a pathological solve (|c| huge) means the subspace
-    # is numerically degenerate -> take the newest Fock instead
-    bad = jnp.max(jnp.abs(c)) > 20.0
+    w, v = _eigh_r(G)
+    thr = 1e-12 if G.dtype == jnp.float64 else 1e-6
+    winv = jnp.where(jnp.abs(w) > thr, 1.0 / w, 0.0)
+    ones = jnp.where(valid, 1.0 / scale, 0.0)
+    y = v @ (winv * (v.T @ ones))
+    c = jnp.where(valid, y / scale, 0.0)
+    csum = jnp.sum(c)
+    c = c / jnp.where(jnp.abs(csum) > 1e-12, csum, 1.0)
+    # sanity fallback to the newest Fock: |c| huge (numerically degenerate
+    # subspace) or sum(c)~0 (all error vectors at the noise floor, e.g.
+    # an already-converged atom where G ~ 0 and y == 0)
+    bad = (jnp.max(jnp.abs(c)) > 20.0) | (jnp.abs(csum) <= 1e-12)
     latest = (nval - 1) % space if newest is None else newest
     c_safe = jnp.zeros(space, dtype=G.dtype).at[latest].set(1.0)
     c = jnp.where(bad, c_safe, c)

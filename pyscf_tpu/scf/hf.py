@@ -15,10 +15,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# above this nao the one-dispatch fused SCF program is replaced by the
-# staged host-driven loop (_kernel_staged): the monolithic executable's
-# load crashes the TPU worker at ~580 AO
-FUSED_MAX_NAO = int(os.environ.get('PYSCF_TPU_FUSED_MAX_NAO', '400'))
+# nao threshold above which the one-dispatch fused SCF program is replaced
+# by the staged host-driven loop (_kernel_staged). Default 0: the staged
+# loop is the restricted-SCF default - the monolithic fused executable
+# costs tens of minutes of XLA compile (200+ MB serialized), crashes the
+# TPU worker on load at ~580 AO, and its only advantage (no per-cycle
+# dispatch) is worth ~milliseconds. Set PYSCF_TPU_FUSED_MAX_NAO to a
+# positive value to re-enable the fused program below that size.
+FUSED_MAX_NAO = int(os.environ.get('PYSCF_TPU_FUSED_MAX_NAO', '0'))
 
 from .. import __config__
 from ..lib import parameters as param
